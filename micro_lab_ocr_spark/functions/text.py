@@ -1,0 +1,205 @@
+"""Text-analysis and similarity Column expressions for training-data pipelines.
+
+All pure Catalyst (JVM-side). The hash primitives are deliberately *portable*
+(md5-based) so the DuckDB correctness oracle can reproduce them bit-for-bit —
+``xxhash64``/``hash`` would be faster but engine-specific; at 100 TB the md5
+cost is still scan-dominated and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small English stopword list (public-domain, fixed for determinism).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this", "be", "are",
+]
+
+TOKEN_SPLIT = r"[^a-zA-Z0-9]+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse non-alphanumerics to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), TOKEN_SPLIT, " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace/punct tokenizer → array<string> (empty-safe)."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles (n-grams) of the normalized text → array<string>."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Character n-grams of normalized text → array<string>."""
+    t = normalize_text(col)
+    ln = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(t, i, F.lit(n)).cast("string"))
+
+
+def md5_hash(col: Column, seed: int | None = None) -> Column:
+    """Portable deterministic hash: md5 hex digest (optionally salted).
+
+    Comparable across Spark and DuckDB; MinHash uses lexicographic MIN over
+    these hex strings, which is engine-independent.
+    """
+    c = col if seed is None else F.concat(col, F.lit(f"#{seed}"))
+    return F.md5(c)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of ``num_hashes`` lexicographic-min salted
+    md5 digests over the shingle set. array_min is a partial-aggregatable
+    per-row op — no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature for LSH: array<struct<band:int, key:string>>.
+
+    Two docs sharing any band key are near-dup candidates (join on key).
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(signature, b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over word tokens, built from md5 nibbles (portable).
+
+    For each of 64 bit positions, sum +1/-1 votes across tokens; bit=1 when
+    the vote is positive. Bits derive from the md5 hex digest of each token:
+    bit i = parity of hex digit i mod 32 (two digests salted for 64 bits).
+    """
+    toks = tokens(col)
+
+    def bit_votes(bit: int) -> Column:
+        # bit 0..63 → salted digest half + hex char position
+        salt = bit // 32
+        pos = bit % 32
+        digit = F.transform(
+            toks,
+            lambda t: F.when(
+                F.substring(F.md5(F.concat(t, F.lit(f"#s{salt}"))), pos + 1, 1).rlike("[89abcdef]"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        votes = F.aggregate(digit, F.lit(0), lambda acc, x: acc + x)
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out + bit_votes(i) * F.lit(1 << i).cast("long")
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two string arrays (treated as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+# ---------------------------------------------------------------------------
+# language ID / quality scoring (SURVEY training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(sw / F.size(toks))
+
+
+def detect_language(col: Column) -> Column:
+    """Heuristic n-gram language ID: en / ko / unknown.
+
+    CJK-dominant → 'ko'; stopword ratio ≥ 5% → 'en'; else 'unknown'.
+    """
+    hangul = F.length(F.regexp_replace(col, r"[^가-힣]", ""))
+    total = F.greatest(F.length(col), F.lit(1))
+    return (
+        F.when(hangul / total > 0.2, F.lit("ko"))
+        .when(stopword_ratio(col) >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality score in [0,1]: length, punctuation
+    density, stopword ratio, mean word length — each clipped linear."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct = F.length(F.regexp_replace(col, r"[^!?.,;:]", ""))
+    punct_ratio = punct / F.greatest(F.length(col), F.lit(1))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    mean_wlen = F.length(normalize_text(col)) / F.greatest(n_tok, F.lit(1))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + punct_score + sw_score + wlen_score) / 4, 4)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (content-defined key for
+    exact dedup; portable across engines)."""
+    return F.md5(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity (ANN building blocks)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode stands in for a multi-executor cluster (sandbox constraint); every
+config below is written as it would be for a real 1000-executor run, with the
+local numbers derived from core count so the same code ships unchanged via
+``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "micro-lab-ocr-spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the extraction workload.
+
+    Parameters
+    ----------
+    parallelism:
+        Local core count (``local[N]``). Defaults to ``$SPARK_GRAFT_CPUS`` or
+        all cores. On a real cluster this arg is ignored by spark-submit.
+    shuffle_partitions:
+        Defaults to ``2 * parallelism`` locally; on a 100 TB corpus this is
+        instead sized as ``corpus_bytes / 128MB`` (AQE coalesces down).
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * parallelism, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{parallelism}]")
+        # --- shuffle & adaptive execution -------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # --- scans -------------------------------------------------------
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # --- broadcast join: dimensions (progress master, synonym maps)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Arrow / pandas-UDF path (the only Python in the plan) -------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # deterministic timestamps in tests regardless of host TZ
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

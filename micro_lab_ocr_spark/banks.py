@@ -127,8 +127,23 @@ STRAIN_SYNONYMS: list[tuple[str, str]] = [
 STRAINS: list[str] = ["E.coli", "P.aeruginosa", "S.aureus", "C.albicans", "A.brasiliensis"]
 STRAIN_ORDER: dict[str, int] = {s: i for i, s in enumerate(STRAINS)}
 
+# Upstage engine's synonym map (`backend.py:630-635`) — NO genus-only entries
+# and passthrough-on-miss, unlike the Azure map above.
+UPSTAGE_STRAIN_SYNONYMS: list[tuple[str, str]] = [
+    (syn, canon) for syn, canon in STRAIN_SYNONYMS
+    if syn not in ("Escherichia", "Pseudomonas", "Staphylococcus", "Candida", "Aspergillus")
+]
+
+# Upstage row-validity keyword filter (`backend.py:392`).
+VALID_STRAIN_KEYWORDS: list[str] = STRAINS + [
+    "Escherichia", "Pseudomonas", "Staphylococcus", "Candida", "Aspergillus"
+]
+
 # F13 — judgment decode: any of these chars → 부적합 (fail), else 적합 (pass).
+# Azure variant upper-cases first (`backend_preservation.py:1607`); Upstage
+# checks the raw value and includes lowercase 'v' (`backend.py:721`).
 JUDGMENT_FAIL_CHARS = ["X", "×", "V"]
+JUDGMENT_FAIL_CHARS_UPSTAGE = ["X", "×", "v", "V"]
 
 # F4 — merged-cell detection patterns (`backend_preservation.py:1227,1236`).
 MERGED_SCIENTIFIC = r"(\d+\.?\d*[×xX]10[\^]?\d+)"

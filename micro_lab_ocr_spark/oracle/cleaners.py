@@ -180,6 +180,19 @@ def normalize_strain(strain: str, passthrough: bool = False) -> str:
     return strain if passthrough else ""
 
 
+def normalize_strain_upstage(strain: str) -> str:
+    """Upstage variant (`backend.py:627-646`): equality pass then substring
+    pass over the 15-entry map (no genus-only entries); passthrough on miss."""
+    low = strain.lower()
+    for synonym, canonical in banks.UPSTAGE_STRAIN_SYNONYMS:
+        if synonym.lower() == low:
+            return canonical
+    for synonym, canonical in banks.UPSTAGE_STRAIN_SYNONYMS:
+        if synonym.lower() in low:
+            return canonical
+    return strain
+
+
 # --------------------------------------------------------------------------
 # F13 — judgment decode (`backend_preservation.py:1602-1613`)
 # --------------------------------------------------------------------------
@@ -192,6 +205,100 @@ def extract_judgment(value: str) -> str:
     if any(c in v for c in banks.JUDGMENT_FAIL_CHARS) or "부적합" in v:
         return "부적합"
     return "적합"
+
+
+def extract_judgment_upstage(value: str) -> str:
+    """Upstage variant (`backend.py:715-739`): raw-case char scan incl. 'v'."""
+    if any(c in value for c in banks.JUDGMENT_FAIL_CHARS_UPSTAGE):
+        return "부적합"
+    return "적합"
+
+
+# --------------------------------------------------------------------------
+# Upstage CFU clean chain — F8/F9/F10 (`backend.py:648-713`), distinct from
+# the Azure chain above.
+# --------------------------------------------------------------------------
+
+
+def clean_cfu_value_upstage(value: str, strain: str, day: str) -> str:
+    """day ∈ {'0','7','14','28'} (the reference passes '0일' etc.)."""
+    if not value:
+        return ""
+    original = value
+    # F8 — CJK scrub + char substitutions (order matters: C→< before Co/CIO
+    # rules can never fire on 'C'; the reference applies them in this order,
+    # so 'CIO' has already become '<I0' when the CIO rule is reached).
+    value = re.sub(r"[ぁ-んァ-ン一-龯]+", "", value)
+    value = value.replace("く", "<").replace("C", "<").replace("O", "0")
+    value = value.replace("Co", "0").replace("CIO", "<10").replace("C10", "<10")
+    value = value.strip()
+
+    # scientific form
+    if re.search(r"[×xX]", value):
+        m = re.match(r"([0-9.]+)\s*[×xX]\s*10\s*\^?([0-9]+)", value)
+        if m:
+            return f"{m.group(1)}×10^{m.group(2)}"
+
+    # F9 — '<' canonicalize
+    if "<" in value:
+        m = re.search(r"<\s*10\s*\^?\s*([0-9]+)", value)
+        if m:
+            return f"<10^{m.group(1)}"
+        m = re.search(r"<\s*([0-9]+)", value)
+        if m:
+            return f"<{m.group(1)}"
+        return "<10"
+
+    if "≤" in value:
+        m = re.search(r"≤\s*([0-9]+)", value)
+        if m:
+            return f"≤{m.group(1)}"
+
+    # F10 — day/strain-conditional defaults
+    target = ["E.coli", "P.aeruginosa", "S.aureus", "C.albicans"]
+    is_target = bool(strain) and any(s in strain for s in target)
+    if day in ("7", "14", "28") and is_target:
+        if re.match(r"^≤\d+[°⁰]?$", value, re.IGNORECASE):
+            return value
+        if len(original) >= 6:
+            return value
+        corrected = "<10^2" if day == "7" else "<10"
+        has_power_signal = "2" in original and any(
+            ch in original for ch in ["^", "²", "⁰", "¹", "³"]
+        )
+        if has_power_signal and day != "28":
+            corrected = "<10^2"
+        return corrected
+    return value
+
+
+def convert_to_log_upstage(cfu_value: str):
+    """F20 Upstage variant (`backend.py:800-835`): adds a `≤n` → '<n.0'
+    branch — but NESTED inside the `'<' in value` block, so it only fires for
+    values containing both '<' and '≤'; a bare '≤3' falls through to the
+    float parse and passes through unchanged (reference quirk, preserved)."""
+    if not cfu_value:
+        return ""
+    if "<" in cfu_value:
+        if "10^" in cfu_value:
+            m = re.search(r"<10\^(\d+)", cfu_value)
+            if m:
+                return f"<{m.group(1)}.0"
+        elif "≤" in cfu_value:
+            m = re.search(r"≤(\d+)", cfu_value)
+            if m:
+                return f"<{m.group(1)}.0"
+        return "<1.0"
+    m = re.match(r"([0-9.]+)×10\^(\d+)", cfu_value)
+    if m:
+        try:
+            return round(int(m.group(2)) + math.log10(float(m.group(1))), 1)
+        except ValueError:
+            return cfu_value
+    try:
+        return round(math.log10(float(cfu_value)), 1)
+    except ValueError:
+        return cfu_value
 
 
 # --------------------------------------------------------------------------
@@ -306,15 +413,22 @@ def fix_date_cell(value: str) -> str:
     return re.sub(r"^(\d)\.(\d)\s+(\d{1,2})$", r"\1\2 \3", value)
 
 
-def date_ladder(month: int, day: int) -> dict[str, str]:
+def date_ladder(month: int, day: int, year: int = 2024) -> dict[str, str]:
     """F17 (`backend_preservation.py:380-408`): year pinned to 2024."""
-    d0 = datetime(2024, month, day)
+    d0 = datetime(year, month, day)
     return {
         "date_0": d0.strftime("%m/%d"),
         "date_7": (d0 + timedelta(days=7)).strftime("%m/%d"),
         "date_14": (d0 + timedelta(days=14)).strftime("%m/%d"),
         "date_28": (d0 + timedelta(days=28)).strftime("%m/%d"),
     }
+
+
+def date_ladder_1900(month: int, day: int) -> dict[str, str]:
+    """Upstage F17 variant (`backend.py:290-298`): the year is strptime's
+    implicit 1900 (non-leap), a reference quirk that shifts ladders crossing
+    Feb 28 relative to the Azure engine's pinned 2024 (leap)."""
+    return date_ladder(month, day, year=1900)
 
 
 def extract_date_info_from_grid(grid: dict[int, dict[int, str]]) -> dict[str, str]:

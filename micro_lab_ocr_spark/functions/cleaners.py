@@ -32,6 +32,33 @@ def _matches(col: Column, py_pattern: str, ignorecase: bool = False) -> Column:
     return col.rlike(pat)
 
 
+def let(col: Column, fn) -> Column:
+    """Let-binding for Column expressions: evaluate ``col`` once, reference it
+    many times inside ``fn`` as a lambda variable.
+
+    Catalyst has no common-subexpression *tree* sharing across chained CASE
+    banks — every reference to the input duplicates its whole subtree, which
+    makes a chain like ``normalize(fix(noise(split(x))))`` exponential in plan
+    size (observed: 34 MB serialized plans, minutes of codegen). Wrapping each
+    stage in ``element_at(transform(array(col), fn), 1)`` binds the input to a
+    higher-order-function variable — a barrier Catalyst keeps — so plan growth
+    is linear. Runtime cost is one single-element array per stage, dwarfed by
+    the regex work inside.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def let2(a: Column, b: Column, fn) -> Column:
+    """Two-input let-binding (see :func:`let`)."""
+    return F.element_at(
+        F.transform(
+            F.array(F.struct(a.alias("a"), b.alias("b"))),
+            lambda s: fn(s.getField("a"), s.getField("b")),
+        ),
+        1,
+    )
+
+
 def first_regexp_extract(col: Column, patterns: list[str], group: int = 0) -> Column:
     """First-pattern-wins extraction over an ordered regex bank (F2 chain).
 
@@ -179,13 +206,14 @@ def fix_7day_ambiguous(cleaned: Column, original: Column) -> Column:
 
 
 def clean_cfu_value(col: Column, day: str) -> Column:
-    v = remove_noise(split_merged_cells(col))
+    # per-stage let-bindings keep the plan linear (see `let`)
+    v = let(col, lambda c: remove_noise(split_merged_cells(c)))
     if day == "0":
-        out = normalize_scientific(v)
+        out = let(v, normalize_scientific)
     else:
-        out = normalize_scientific(fix_less_than_10(v))
+        out = let(let(v, fix_less_than_10), normalize_scientific)
         if day == "7":
-            out = fix_7day_ambiguous(out, col)
+            out = let2(out, col, fix_7day_ambiguous)
     return F.when(col.isNull() | (col == ""), F.lit("")).otherwise(out)
 
 
@@ -196,14 +224,19 @@ def clean_cfu_value(col: Column, day: str) -> Column:
 
 
 def normalize_strain(col: Column, passthrough: bool = False) -> Column:
-    low = F.lower(col)
-    expr = F.lit(None).cast("string")
-    chain = None
-    for synonym, canonical in banks.STRAIN_SYNONYMS:
-        cond = low.contains(synonym.lower())
-        chain = F.when(cond, F.lit(canonical)) if chain is None else chain.when(cond, F.lit(canonical))
-    expr = chain.otherwise(col if passthrough else F.lit(""))
-    return expr
+    def inner(c: Column) -> Column:
+        low = F.lower(c)
+        chain = None
+        for synonym, canonical in banks.STRAIN_SYNONYMS:
+            cond = low.contains(synonym.lower())
+            chain = (
+                F.when(cond, F.lit(canonical))
+                if chain is None
+                else chain.when(cond, F.lit(canonical))
+            )
+        return chain.otherwise(c if passthrough else F.lit(""))
+
+    return let(col, inner)
 
 
 def strain_rank(col: Column) -> Column:
@@ -263,17 +296,22 @@ _PRESC_PATTERNS_ROW = [
 
 def extract_test_number(col: Column) -> Column:
     """Test# from a bulk-name cell, with I/1 and |/! repairs (F3)."""
-    t = preprocess_bulk_name(col)
-    raw = first_regexp_extract(t, _TEST_PATTERNS_ROW, group=1)
-    repaired = F.regexp_replace(raw, r"([A-Z])(\d{2})1(\d{2})", "$1$2I$3")
-    return F.when(col.isNull(), F.lit("")).otherwise(F.translate(repaired, "|!", "II"))
+
+    def inner(t: Column) -> Column:
+        raw = first_regexp_extract(t, _TEST_PATTERNS_ROW, group=1)
+        repaired = F.regexp_replace(raw, r"([A-Z])(\d{2})1(\d{2})", "$1$2I$3")
+        return F.translate(repaired, "|!", "II")
+
+    out = let(preprocess_bulk_name(col), inner)
+    return F.when(col.isNull(), F.lit("")).otherwise(out)
 
 
 def extract_prescription_number(col: Column) -> Column:
-    t = preprocess_bulk_name(col)
-    return F.when(col.isNull(), F.lit("")).otherwise(
-        F.trim(first_regexp_extract(t, _PRESC_PATTERNS_ROW, group=1))
+    out = let(
+        preprocess_bulk_name(col),
+        lambda t: F.trim(first_regexp_extract(t, _PRESC_PATTERNS_ROW, group=1)),
     )
+    return F.when(col.isNull(), F.lit("")).otherwise(out)
 
 
 def extract_multiple_test_numbers(col: Column) -> Column:
@@ -353,16 +391,19 @@ def zero_pad2(col: Column) -> Column:
 
 
 def convert_to_log(col: Column) -> Column:
-    censored_exp = F.regexp_extract(col, r"<10\^(\d+)", 1)
-    base = F.regexp_extract(col, r"^([0-9.]+)×10\^(\d+)", 1).try_cast("double")
-    expn = F.regexp_extract(col, r"^([0-9.]+)×10\^(\d+)", 2).try_cast("int")
-    sci_log = F.round(expn + F.log10(base), 1)
-    plain = F.round(F.log10(col.try_cast("double")), 1)
-    return (
-        F.when(col.isNull() | (col == ""), F.lit(""))
-        .when(col.contains("<") & (censored_exp != ""), F.concat(F.lit("<"), censored_exp, F.lit(".0")))
-        .when(col.contains("<"), F.lit("<1.0"))
-        .when(base.isNotNull(), sci_log.cast("string"))
-        .when(col.try_cast("double").isNotNull(), plain.cast("string"))
-        .otherwise(col)
-    )
+    def inner(c: Column) -> Column:
+        censored_exp = F.regexp_extract(c, r"<10\^(\d+)", 1)
+        base = F.regexp_extract(c, r"^([0-9.]+)×10\^(\d+)", 1).try_cast("double")
+        expn = F.regexp_extract(c, r"^([0-9.]+)×10\^(\d+)", 2).try_cast("int")
+        sci_log = F.round(expn + F.log10(base), 1)
+        plain = F.round(F.log10(c.try_cast("double")), 1)
+        return (
+            F.when(c.isNull() | (c == ""), F.lit(""))
+            .when(c.contains("<") & (censored_exp != ""), F.concat(F.lit("<"), censored_exp, F.lit(".0")))
+            .when(c.contains("<"), F.lit("<1.0"))
+            .when(base.isNotNull(), sci_log.cast("string"))
+            .when(c.try_cast("double").isNotNull(), plain.cast("string"))
+            .otherwise(c)
+        )
+
+    return let(col, inner)

@@ -1,0 +1,294 @@
+"""Azure-engine grid → records, as pure Catalyst (the flagship rewrite).
+
+Re-creates `backend_preservation.py`'s imperative page loop declaratively:
+
+* W8 header detect (`:737-806`)      → per-page conditional aggregates
+* column map + A7 spec vote (`:808-923`) → per-cell classification + max/min
+  aggregates + ordinal-window vote
+* W1 fill-down (`:467-491`)          → ``last(ignoreNulls)`` window
+* F-chain cell cleaning (`:1503-1543`) → Column expressions (parity-tested)
+* A2 strain-group sort (`:546-578`)  → change-detection window + sort keys
+* F19 date extraction (`:294-414`)   → per-row date collection + min structs
+
+Scale design: ONE shuffle — everything is keyed by page = (doc_id, offset);
+the input is repartitioned once on that key and every groupBy/window/join
+below reuses the partitioning (verified via ``.explain``: single Exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from micro_lab_ocr_spark.functions import cleaners as C
+
+_HEADER_KEYWORDS = ["CHALLENGED ORGANISM", "BULK NAME", "SPECIFICATION"]
+_STRAIN_KEYWORDS = [
+    "E.COLI", "ESCHERICHIA", "P.AERUGINOSA", "PSEUDOMONAS",
+    "S.AUREUS", "STAPHYLOCOCCUS", "C.ALBICANS", "CANDIDA",
+    "A.BRASILIENSIS", "ASPERGILLUS", "균주", "STRAIN",
+]
+_CFU_VALUE_RE = r"\d+\.?\d*\s*[×xX]\s*10[\^]?\d+"
+_SPEC_VALUE_RE = r"^(≤[0-9]+[°cC]?|[0-9]{1,2}[°cC]?|SI)$"
+
+PAGE = ["doc_id", "offset"]
+
+
+def _contains_any(col: Column, keywords: list[str]) -> Column:
+    out = F.lit(False)
+    for k in keywords:
+        out = out | col.contains(k)
+    return out
+
+
+def extract_grid_records(grids: DataFrame) -> DataFrame:
+    """Records only — see :func:`extract`."""
+    return extract(grids)[0]
+
+
+def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``grids(doc_id, offset, cells: array<struct<row:int,col:int,text:string>>)``
+    → (records, pages).
+
+    records: the 9 extraction fields + deterministic output ordering columns
+    (group_id, strain_rank, row). pages: one row per input page with
+    ``date_info`` (nullable struct) and ``header_row`` — dates are extracted
+    even for pages that yield no records (`backend_preservation.py:284-292`).
+    """
+    spark = grids.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    cells = (
+        grids.repartition(n_part, *PAGE)
+        .select(*PAGE, F.explode("cells").alias("cell"))
+        .select(*PAGE, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"),
+                F.col("cell.text").alias("text"))
+    )
+
+    # ---- per-row rollup -------------------------------------------------
+    fixed = C.fix_date_cell(F.trim(F.col("text")))
+    date_m = F.coalesce(
+        F.nullif(F.regexp_extract(fixed, r"^(\d{1,2})[/\-.](\d{1,2})$", 1), F.lit("")),
+        F.nullif(F.regexp_extract(fixed, r"^(\d{1,2})\s+(\d{1,2})$", 1), F.lit("")),
+    )
+    date_d = F.coalesce(
+        F.nullif(F.regexp_extract(fixed, r"^(\d{1,2})[/\-.](\d{1,2})$", 2), F.lit("")),
+        F.nullif(F.regexp_extract(fixed, r"^(\d{1,2})\s+(\d{1,2})$", 2), F.lit("")),
+    )
+    rows = (
+        cells.withColumn("date_m", date_m)
+        .withColumn("date_d", date_d)
+        .groupBy(*PAGE, "row")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("col", "text"))), lambda x: x["text"]
+                ),
+                " ",
+            ).alias("row_text"),
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("col", "text")))
+            ).alias("row_map"),
+            F.max(
+                (F.regexp_like(F.trim("text"), F.lit(_CFU_VALUE_RE))
+                 | F.trim("text").rlike(r"^\d{4,}$")).cast("int")
+            ).alias("has_cfu"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("date_m").isNotNull(),
+                           F.struct("col", "date_m", "date_d"))
+                )
+            ).alias("date_cells"),
+        )
+        .withColumn("row_text_u", F.upper("row_text"))
+    )
+
+    # ---- W8 header detection -------------------------------------------
+    hdr1 = F.min(
+        F.when((F.col("row") < 5) & _contains_any(F.col("row_text_u"), _HEADER_KEYWORDS),
+               F.col("row"))
+    )
+    cand = F.min(
+        F.when((F.col("row") < 15) & _contains_any(F.col("row_text_u"), _STRAIN_KEYWORDS),
+               F.struct("row", "has_cfu"))
+    )
+    # F19 pass 1: first row (<5) with ≥4 date cells; pass 2: first date cell
+    pass1 = F.min(
+        F.when((F.col("row") < 5) & (F.size("date_cells") >= 4),
+               F.struct("row", "date_cells"))
+    )
+    pass2 = F.min(
+        F.when(
+            (F.col("row") < 5) & (F.size("date_cells") >= 1),
+            F.struct(
+                "row",
+                F.element_at("date_cells", 1).getField("col").alias("col"),
+                F.element_at("date_cells", 1).getField("date_m").alias("m"),
+                F.element_at("date_cells", 1).getField("date_d").alias("d"),
+            ),
+        )
+    )
+    pages = rows.groupBy(*PAGE).agg(
+        hdr1.alias("hdr1"), cand.alias("cand"), pass1.alias("pass1"), pass2.alias("pass2")
+    )
+    pages = pages.withColumn(
+        "header_row",
+        F.when(F.col("hdr1").isNotNull(), F.col("hdr1")).otherwise(
+            F.when(F.col("cand").isNotNull(),
+                   F.when(F.col("cand.has_cfu") == 1, F.lit(-1)).otherwise(F.col("cand.row")))
+        ),
+    ).withColumn("header_eff", F.when(F.col("header_row") == -1, F.lit(0)).otherwise(F.col("header_row")))
+
+    # ---- date_info struct (F17/F19/F21) ----------------------------------
+    def _zp(i: int) -> Column:
+        dc = F.element_at(F.col("pass1.date_cells"), i + 1)
+        return F.concat(F.lpad(dc.getField("date_m"), 2, "0"), F.lit("/"),
+                        F.lpad(dc.getField("date_d"), 2, "0"))
+
+    p2m = F.col("pass2.m").try_cast("int")
+    p2d = F.col("pass2.d").try_cast("int")
+    ladder_ok = (
+        F.col("pass2").isNotNull() & p2m.between(1, 12) & p2d.between(1, 28)
+    )  # mirrors the reference's try/except datetime(2024, m, d) on the
+    # fixture-reachable domain (all fixture days ≤ 28)
+    pages = pages.withColumn(
+        "date_info",
+        F.when(
+            F.col("pass1").isNotNull(),
+            F.struct(_zp(0).alias("date_0"), _zp(1).alias("date_7"),
+                     _zp(2).alias("date_14"), _zp(3).alias("date_28")),
+        ).when(ladder_ok, C.date_ladder(p2m, p2d)),
+    )
+
+    # ---- column map (`:808-923`) -----------------------------------------
+    hdr_cells = cells.join(
+        pages.select(*PAGE, "header_eff", "header_row"), PAGE
+    ).where(F.col("row") == F.col("header_eff"))
+    vu = F.upper(F.trim("text"))
+    v = F.col("text")
+    is_strain_col = v.contains("균주") | vu.contains("STRAIN") | vu.contains("E.COLI") | vu.contains("ORGANISM")
+    is_spec_col = vu.contains("SPECIFICATION") | vu.contains("SPEC")
+    day_base = v.contains("일") | vu.contains("DAY") | vu.contains("CFU")
+    cfu_class = (
+        F.when(v.contains("0") & (day_base | v.contains("접종")), F.lit(0))
+        .when(v.contains("7") & day_base, F.lit(7))
+        .when(v.contains("14") & day_base, F.lit(14))
+        .when(v.contains("28") & day_base, F.lit(28))
+    )
+    is_judg = v.contains("판정") | vu.contains("JUDGMENT")
+    is_final = is_judg & (v.contains("최종") | vu.contains("FINAL"))
+    colmap = hdr_cells.groupBy(*PAGE).agg(
+        F.max(F.when(is_strain_col, F.col("col"))).alias("strain_col"),
+        F.max(F.when(is_spec_col, F.col("col"))).alias("spec_col0"),
+        F.max(F.when(cfu_class == 0, F.col("col"))).alias("cfu0_k"),
+        F.max(F.when(cfu_class == 7, F.col("col"))).alias("cfu7_k"),
+        F.max(F.when(cfu_class == 14, F.col("col"))).alias("cfu14_k"),
+        F.max(F.when(cfu_class == 28, F.col("col"))).alias("cfu28_k"),
+        F.min(F.when(is_judg & ~is_final, F.col("col"))).alias("judg_k"),
+        F.max(F.when(is_final, F.col("col"))).alias("final_k"),
+    )
+
+    # A7 — Specification inference by value-pattern vote over the first 5
+    # rows (after the header) that HAVE the strain_col+1 column
+    vote_w = Window.partitionBy(*PAGE).orderBy("row")
+    vote_src = (
+        cells.join(colmap.select(*PAGE, "strain_col"), PAGE)
+        .join(pages.select(*PAGE, F.col("header_eff").alias("hrow")), PAGE)
+        .where(F.col("strain_col").isNotNull()
+               & (F.col("col") == F.col("strain_col") + 1)
+               & (F.col("row") > F.col("hrow")))
+        .withColumn("rn", F.row_number().over(vote_w))
+        .where(F.col("rn") <= 5)
+        .groupBy(*PAGE)
+        .agg(F.sum(F.trim("text").rlike(_SPEC_VALUE_RE).cast("int")).alias("spec_votes"))
+    )
+    colmap = (
+        colmap.join(vote_src, PAGE, "left")
+        .withColumn(
+            "spec_col",
+            F.coalesce(
+                F.col("spec_col0"),
+                F.when(F.col("spec_votes") >= 3, F.col("strain_col") + 1),
+                F.lit(-1),
+            ),
+        )
+        .withColumn(
+            "cfu_start",
+            F.when(F.col("spec_col") > F.col("strain_col"), F.col("spec_col") + 1)
+            .otherwise(F.col("strain_col") + 1),
+        )
+        .select(
+            *PAGE,
+            "strain_col",
+            F.coalesce("cfu0_k", F.col("cfu_start")).alias("cfu_0_col"),
+            F.coalesce("cfu7_k", F.col("cfu_start") + 1).alias("cfu_7_col"),
+            F.coalesce("cfu14_k", F.col("cfu_start") + 2).alias("cfu_14_col"),
+            F.coalesce("cfu28_k", F.col("cfu_start") + 3).alias("cfu_28_col"),
+            F.coalesce("judg_k", F.col("cfu_start") + 4).alias("judgment_col"),
+            F.coalesce("final_k", F.col("cfu_start") + 5).alias("final_judgment_col"),
+        )
+    )
+
+    # ---- data rows: W1 fill-down + clean chain ---------------------------
+    data = (
+        rows.join(pages.select(*PAGE, "header_row", "header_eff", "date_info"), PAGE)
+        .where(F.col("header_row").isNotNull())
+        .where(
+            (F.col("header_row") == -1) | (F.col("row") > F.col("header_row"))
+        )
+        .join(colmap, PAGE)
+        .where(F.col("strain_col").isNotNull())
+    )
+
+    def cell_at(col_key: str) -> Column:
+        return F.coalesce(F.try_element_at("row_map", F.col(col_key)), F.lit(""))
+
+    bulk = F.trim(F.coalesce(F.try_element_at("row_map", F.lit(0)), F.lit("")))
+    w = Window.partitionBy(*PAGE).orderBy("row").rowsBetween(Window.unboundedPreceding, 0)
+    data = (
+        data.withColumn("bulk", bulk)
+        .withColumn("t_ext", F.when(F.col("bulk") != "", C.extract_test_number(F.col("bulk"))))
+        .withColumn("p_ext", F.when(F.col("bulk") != "", C.extract_prescription_number(F.col("bulk"))))
+        .withColumn("test_number", F.coalesce(F.last(F.nullif("t_ext", F.lit("")), True).over(w), F.lit("")))
+        .withColumn(
+            "prescription_number",
+            F.coalesce(F.last(F.nullif("p_ext", F.lit("")), True).over(w), F.lit("")),
+        )
+        .withColumn("strain_raw", F.trim(cell_at("strain_col")))
+        .withColumn("strain", C.normalize_strain(F.col("strain_raw")))
+        .where(F.col("strain_raw") != "")  # strain cell must exist (reference: col in row)
+        .where(F.col("strain") != "")
+    )
+    final_raw = cell_at("final_judgment_col")
+    records = data.select(
+        *PAGE,
+        "row",
+        "date_info",
+        "test_number",
+        "prescription_number",
+        "strain",
+        C.clean_cfu_value(cell_at("cfu_0_col"), "0").alias("cfu_0day"),
+        C.clean_cfu_value(cell_at("cfu_7_col"), "7").alias("cfu_7day"),
+        C.clean_cfu_value(cell_at("cfu_14_col"), "14").alias("cfu_14day"),
+        C.clean_cfu_value(cell_at("cfu_28_col"), "28").alias("cfu_28day"),
+        C.extract_judgment(cell_at("judgment_col")).alias("judgment"),
+        F.when(final_raw == "", F.lit("")).otherwise(C.extract_judgment(final_raw)).alias(
+            "final_judgment"
+        ),
+    )
+
+    # ---- A2 — strain-group sort within consecutive test groups ----------
+    ow = Window.partitionBy(*PAGE).orderBy("row")
+    records = (
+        records.withColumn("prev_test", F.lag("test_number").over(ow))
+        .withColumn(
+            "new_group",
+            (F.col("prev_test").isNull() | (F.col("prev_test") != F.col("test_number"))).cast("int"),
+        )
+        .withColumn("group_id", F.sum("new_group").over(
+            Window.partitionBy(*PAGE).orderBy("row").rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .withColumn("strain_rank", C.strain_rank(F.col("strain")))
+        .drop("prev_test", "new_group", "date_info")
+    )
+    return records, pages.select(*PAGE, "date_info", "header_row")

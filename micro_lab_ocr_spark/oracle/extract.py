@@ -363,17 +363,19 @@ def normalize_document(doc_id: str, spans: list[dict], media: dict[str, bytes]) 
             out.append(
                 {"kind": "table", "text": spanspec.serialize_table(date_info, records), "media_ref": ""}
             )
-        elif kind == "image":
+        elif kind == "image" and ref in media:
             grid = grid_from_cells(ocr_kernel.decode_image(media[ref]))
             date_info = oc.extract_date_info_from_grid(grid)
             records = extract_grid_records(grid)
             out.append(
                 {"kind": "table", "text": spanspec.serialize_table(date_info, records), "media_ref": ref}
             )
-        elif kind == "pdf":
+        elif kind == "pdf" and ref in media:
             out.append({"kind": "text", "text": pdf_kernel.layout_text(media[ref]), "media_ref": ref})
         else:
-            raise ValueError(f"unknown span kind {kind!r} in {doc_id}")
+            # unknown kind, or media span whose ref is missing from the media
+            # table: pass through unchanged — never silently dropped
+            out.append({"kind": kind, "text": text, "media_ref": ref})
     for i, span in enumerate(out):
         span["offset"] = i
     return out

@@ -1,0 +1,339 @@
+"""The flagship pipeline: interleaved spans → normalized spans per doc_id.
+
+Dataflow (SURVEY §3.1 lifecycle, Spark-first):
+
+    docs(doc_id, spans) ──explode──► span rows ──route by kind──►
+      text        → pass-through
+      html        → mapInPandas(main-content kernel)            [no shuffle]
+      pdf         → join media ──► mapInPandas(XY-cut kernel)   [1 shuffle: media_ref]
+      image       → join media ──► mapInPandas(OCR kernel) ──►
+                    grid_extract (pure Catalyst)                [1 shuffle: page]
+      table_html  → mapInPandas(Upstage page kernel) ──►
+                    W2 date-carry window over (doc_id, offset)  [1 shuffle: doc_id]
+    ──unionByName──► groupBy(doc_id) collect+sort → dense offsets [1 shuffle: doc_id]
+
+Scale notes: with the docs table bucketed by doc_id (Iceberg
+``bucket(N, doc_id)``) the W2 window and the final reassembly reuse storage
+partitioning (SPJ) and their shuffles disappear; the media join is keyed by
+media_ref and AQE handles its skew. The Upstage page kernel is an Arrow-batched
+mapInPandas (one page per row — batch-level vectorization; per SURVEY §4.3 the
+FIFO fallback state is doc-local and deterministic). The Azure grid path is
+pure Catalyst — see operators/grid_extract.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from micro_lab_ocr_spark import spanspec
+from micro_lab_ocr_spark.operators import grid_extract
+
+SPAN_SCHEMA = "doc_id string, offset int, kind string, text string, media_ref string"
+OUT_FIELDS = ["doc_id", "offset", "kind", "text", "media_ref"]
+
+
+# ---------------------------------------------------------------------------
+# Arrow kernels (mapInPandas iterators — the only Python in the plan)
+# ---------------------------------------------------------------------------
+
+
+def _html_main_content(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from micro_lab_ocr_spark.kernels import html as hk
+
+    for pdf in it:
+        pdf = pdf.copy()
+        pdf["text"] = pdf["text"].map(hk.extract_main_content)
+        pdf["kind"] = "text"
+        pdf["media_ref"] = ""
+        yield pdf[OUT_FIELDS]
+
+
+def _pdf_layout(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from micro_lab_ocr_spark.kernels import pdf as pk
+
+    for pdf in it:
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "kind": "text",
+                "text": pdf["content"].map(pk.layout_text),
+                "media_ref": pdf["media_ref"],
+            }
+        )
+        yield out
+
+
+def _ocr_grids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from micro_lab_ocr_spark.kernels import ocr as ok
+
+    for pdf in it:
+        cells = [
+            [
+                {"row": r, "col": c, "text": t}
+                for r, c, t in ok.decode_image(bytes(content))
+            ]
+            for content in pdf["content"]
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "media_ref": pdf["media_ref"],
+                "cells": cells,
+            }
+        )
+
+
+def _upstage_pages(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One Upstage page per row: first-table parse → records + own-date.
+
+    Returns serialized record lines (sans dates) + the page's own parsed date
+    (nullable) — the W2 carry happens downstream in a Spark window.
+    """
+    from micro_lab_ocr_spark.kernels import html as hk
+    from micro_lab_ocr_spark.oracle import extract as ox
+
+    for pdf in it:
+        lines_out, d0, d7, d14, d28 = [], [], [], [], []
+        ok = []
+        for html in pdf["text"]:
+            rows = hk.parse_first_table(html)
+            if not rows or len(rows) < 3:
+                lines_out.append("")
+                d0.append(None); d7.append(None); d14.append(None); d28.append(None)
+                ok.append(False)
+                continue
+            ok.append(True)
+            date_found = ox.extract_date_info_html(rows, None)
+            records = ox.parse_table_rows_html(rows, ox.FallbackState())
+            lines_out.append(
+                "\n".join(
+                    "|".join(str(r[f]) for f in spanspec.RECORD_FIELDS) for r in records
+                )
+            )
+            d0.append(date_found.get("date_0"))
+            d7.append(date_found.get("date_7"))
+            d14.append(date_found.get("date_14"))
+            d28.append(date_found.get("date_28"))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "lines": lines_out,
+                "ok": ok,
+                "d0": d0, "d7": d7, "d14": d14, "d28": d28,
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# serialization helpers (Catalyst mirror of spanspec.serialize_table)
+# ---------------------------------------------------------------------------
+
+
+def _dates_line(date_struct: Column) -> Column:
+    return F.when(
+        date_struct.isNull(), F.lit(",,,")
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            date_struct.getField("date_0"),
+            date_struct.getField("date_7"),
+            date_struct.getField("date_14"),
+            date_struct.getField("date_28"),
+        )
+    )
+
+
+def _with_dates(dates_line: Column, lines: Column) -> Column:
+    body = F.concat(F.lit("dates="), dates_line)
+    return F.when(
+        F.coalesce(lines, F.lit("")) == "", body
+    ).otherwise(F.concat(body, F.lit("\n"), lines))
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+
+
+def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """docs(doc_id, spans:array<struct<kind,text,media_ref,offset>>) +
+    media(media_ref, content:binary) → (doc_id, spans) normalized."""
+    spans = docs.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+    text_out = spans.where(F.col("kind") == "text").select(
+        "doc_id", "offset", F.lit("text").alias("kind"), "text", F.lit("").alias("media_ref")
+    )
+
+    # Unknown span kinds pass through unchanged — never silently dropped
+    # (a 10^12-doc run must not lose data on schema drift).
+    known = ["text", "html", "table_html", "image", "pdf"]
+    other_out = spans.where(~F.col("kind").isin(known)).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+
+    html_out = (
+        spans.where(F.col("kind") == "html")
+        .select("doc_id", "offset", "kind", "text", "media_ref")
+        .mapInPandas(_html_main_content, SPAN_SCHEMA)
+    )
+
+    # Media joins are LEFT joins: spans whose media_ref is missing from the
+    # media table pass through unchanged (visible, not lost).
+    pdf_spans = (
+        spans.where(F.col("kind") == "pdf")
+        .select("doc_id", "offset", "kind", "text", "media_ref")
+        .join(media, "media_ref", "left")
+    )
+    pdf_missing = pdf_spans.where(F.col("content").isNull()).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+    pdf_out = (
+        pdf_spans.where(F.col("content").isNotNull())
+        .select("doc_id", "offset", "media_ref", "content")
+        .mapInPandas(_pdf_layout, SPAN_SCHEMA)
+        .unionByName(pdf_missing)
+    )
+
+    # ---- image branch: OCR → Catalyst grid extraction --------------------
+    image_spans = (
+        spans.where(F.col("kind") == "image")
+        .select("doc_id", "offset", "kind", "text", "media_ref")
+        .join(media, "media_ref", "left")
+    )
+    image_missing = image_spans.where(F.col("content").isNull()).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+    grids = (
+        image_spans.where(F.col("content").isNotNull())
+        .select("doc_id", "offset", "media_ref", "content")
+        .mapInPandas(
+            _ocr_grids,
+            "doc_id string, offset int, media_ref string, "
+            "cells array<struct<row:int,col:int,text:string>>",
+        )
+    )
+    records, pages = grid_extract.extract(grids.select("doc_id", "offset", "cells"))
+    page_text = (
+        records.alias("r")
+        .groupBy("doc_id", "offset")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "r.group_id", "r.strain_rank", "r.row",
+                                *[F.col(f"r.{f}").alias(f) for f in spanspec.RECORD_FIELDS],
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        "|", *[s.getField(f) for f in spanspec.RECORD_FIELDS]
+                    ),
+                ),
+                "\n",
+            ).alias("lines"),
+        )
+    )
+    image_out = (
+        grids.select("doc_id", "offset", "media_ref")
+        .join(pages.select("doc_id", "offset", "date_info"), ["doc_id", "offset"], "left")
+        .join(page_text, ["doc_id", "offset"], "left")
+        .select(
+            "doc_id",
+            "offset",
+            F.lit("table").alias("kind"),
+            _with_dates(_dates_line(F.col("date_info")), F.col("lines")).alias("text"),
+            "media_ref",
+        )
+        .unionByName(image_missing)
+    )
+
+    # ---- table_html branch: Upstage kernel + W2 date-carry window --------
+    upstage = (
+        spans.where(F.col("kind") == "table_html")
+        .select("doc_id", "offset", "text")
+        .mapInPandas(
+            _upstage_pages,
+            "doc_id string, offset int, lines string, ok boolean, "
+            "d0 string, d7 string, d14 string, d28 string",
+        )
+    )
+    # W2 — cross-page date carry within a doc: carry the last page that
+    # actually parsed a date (`backend.py:256-307`); min-row gate failures
+    # (ok=false) neither carry nor consume (`backend.py:235-238`).
+    w2 = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    own_date = F.when(
+        F.col("d0").isNotNull(),
+        F.concat_ws(",", "d0", "d7", "d14", "d28"),
+    )
+    table_html_out = (
+        upstage.withColumn("carried", F.last(own_date, ignorenulls=True).over(w2))
+        .select(
+            "doc_id",
+            "offset",
+            F.lit("table").alias("kind"),
+            F.when(~F.col("ok"), F.lit("dates=,,,"))
+            .otherwise(
+                _with_dates(F.coalesce(F.col("carried"), F.lit(",,,")), F.col("lines"))
+            )
+            .alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+    )
+
+    # ---- reassembly: per-doc ordered spans with dense offsets ------------
+    all_spans = (
+        text_out.unionByName(html_out)
+        .unionByName(pdf_out)
+        .unionByName(image_out)
+        .unionByName(table_html_out)
+        .unionByName(other_out)
+    )
+    assembled = (
+        all_spans.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("ordered"),
+                lambda s, i: F.struct(
+                    s.getField("kind").alias("kind"),
+                    s.getField("text").alias("text"),
+                    s.getField("media_ref").alias("media_ref"),
+                    i.alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    # docs with zero spans must still appear (empty array, not silently lost)
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    return (
+        docs.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .select("doc_id", F.coalesce("spans", empty).alias("spans"))
+    )

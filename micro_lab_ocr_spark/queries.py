@@ -1,0 +1,1163 @@
+"""Driver-contract queries: one entry per SURVEY §2 operator family, each with
+a Spark implementation and an equivalent DuckDB oracle SQL string.
+
+Numeric-compare discipline (driver hashes values order-insensitively):
+* money/quantity sums go through DECIMAL(18,2) so addition is exact and
+  engine-order-independent, then cast back to DOUBLE for a stable dtype;
+* ratios/averages are ``round(exact_sum / count, 4)``;
+* cosine similarities are rounded to 4 dp; ranking uses the rounded value
+  with id tie-breaks so both engines rank identically.
+
+The cleaner-bank oracle SQL (F6/F7 chains) is GENERATED from
+micro_lab_ocr_spark.banks — the same constants the Catalyst expressions use —
+so the two cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from micro_lab_ocr_spark import banks
+from micro_lab_ocr_spark.functions import cleaners as C
+from micro_lab_ocr_spark.functions import text as T
+from micro_lab_ocr_spark.operators import ann, dedup
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col) -> F.Column:
+    """Exact (decimal) sum, surfaced as double."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+# ===========================================================================
+# relational core (A/J/P families over the TPC-H-ish tables)
+# ===========================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 flavor: scan-heavy multi-aggregate with filter pushdown."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")) / F.count("*"), 4
+            ).cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 flavor: 3-way join + agg + deterministic top-10."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 flavor: 6-way star join with small-dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def j1_enrich_broadcast(spark, sf_dir):
+    """J1 — left broadcast-enrichment join with ''-fill on miss
+    (`backend_preservation.py:1708-1728`): orders enriched by customer."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+    return out.select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("")).alias("customer_name"),
+        F.coalesce("c_mktsegment", F.lit("")).alias("segment"),
+    )
+
+
+J1_SQL = """
+SELECT o_orderkey,
+       COALESCE(c_name, '') AS customer_name,
+       COALESCE(c_mktsegment, '') AS segment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def a3_distinct_stats(spark, sf_dir):
+    """A3/A5 — distinct + session stats over events."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")) / F.count("*"), 4)
+        .cast("double")
+        .alias("avg_value"),
+    )
+
+
+A3_SQL = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def r3_pivot(spark, sf_dir):
+    """R3 — pivot (strain×day analogue): per-user event_type count matrix."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+R3_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# window family (W1/W2/W4/W6/W7 as SQL-checkable analogues over events)
+# ===========================================================================
+
+
+def w1_filldown(spark, sf_dir):
+    """W1 — fill-down last non-null over an ordered per-user window
+    (`backend.py:337-367` semantics)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.round(F.last(purchase_val, ignorenulls=True).over(w), 2), F.lit(-1.0)).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+W1_SQL = """
+SELECT event_id, user_id,
+       COALESCE(ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2), -1.0)
+       AS last_purchase_value
+FROM events
+"""
+
+
+def w4_running_count(spark, sf_dir):
+    """W4 — running occurrence counter (`backend.py:168-171`)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum((F.col("event_type") == "click").cast("int")).over(w).alias("clicks_so_far"),
+    )
+
+
+W4_SQL = """
+SELECT event_id, user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clicks_so_far
+FROM events
+"""
+
+
+def w6_lag_blank(spark, sf_dir):
+    """W6 — blank-on-equal-lag display dedup (`app.py:588-614`)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = F.lag("event_type").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == lagged, F.lit("")).otherwise(F.col("event_type")).alias(
+            "display_type"
+        ),
+    )
+
+
+W6_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+            THEN '' ELSE event_type END AS display_type
+FROM events
+"""
+
+
+def w7_fill_up_restore(spark, sf_dir):
+    """W7 — inverse of W6: restore blanked values from the last non-empty
+    (`app.py:653-669`), applied on top of the W6 output."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    blanked = F.when(F.col("event_type") == F.lag("event_type").over(w), F.lit("")).otherwise(
+        F.col("event_type")
+    )
+    restored = F.last(F.nullif(blanked, F.lit("")), ignorenulls=True).over(wc)
+    return ev.select("event_id", "user_id", restored.alias("restored_type"))
+
+
+W7_SQL = """
+WITH blanked AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN '' ELSE event_type END AS display_type
+  FROM events
+)
+SELECT event_id, user_id,
+       LAST_VALUE(NULLIF(display_type, '') IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS restored_type
+FROM blanked
+"""
+
+
+def sessionize(spark, sf_dir):
+    """Sessionization: a >30-minute gap starts a new session; per-user session
+    count + longest session (streaming-analytics staple; W-family window)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_session = (gap.isNull() | (gap > 1800)).cast("int")
+    sess = ev.withColumn("session_id", F.sum(new_session).over(wc))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.max("n").alias("longest_session"))
+    )
+
+
+SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS longest_session
+FROM per_session GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# text analysis over documents (training-data pipeline ops)
+# ===========================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower({v}), '[^a-z0-9]+', ' ', 'g'))"
+_TOKENS_SQL = (
+    "list_filter(string_split(" + _NORM_SQL + ", ' '), x -> x != '')"
+)
+
+
+def t_token_stats(spark, sf_dir):
+    """Token counting + length stats per doc (text-analysis op)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(T.normalize_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+T_TOKENS_SQL = f"""
+SELECT doc_id,
+       len({_TOKENS_SQL.format(v='text')}) AS n_tokens,
+       len(list_distinct({_TOKENS_SQL.format(v='text')})) AS n_distinct_tokens,
+       len({_NORM_SQL.format(v='text')}) AS norm_len
+FROM documents
+"""
+
+
+def t_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + composite score per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+_SW_RATIO_SQL = f"""
+CASE WHEN len({_TOKENS_SQL.format(v='text')}) = 0 THEN 0.0
+     ELSE len(list_filter({_TOKENS_SQL.format(v='text')}, x -> list_contains({_SW_LIST}, x)))
+          / CAST(len({_TOKENS_SQL.format(v='text')}) AS DOUBLE) END
+"""
+T_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len({_TOKENS_SQL.format(v='text')}) AS n_tok,
+         len({_NORM_SQL.format(v='text')}) AS norm_len,
+         length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS punct,
+         greatest(length(text), 1) AS total,
+         {_SW_RATIO_SQL} AS swr
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(swr, 4) AS stopword_ratio,
+       ROUND((least(n_tok / 100.0, 1.0)
+              + (1.0 - least(punct * 5.0 / total, 1.0))
+              + least(swr * 4, 1.0)
+              + CASE WHEN norm_len / CAST(greatest(n_tok, 1) AS DOUBLE) BETWEEN 3 AND 10
+                     THEN 1.0 ELSE 0.5 END) / 4, 4) AS quality
+FROM base
+"""
+
+
+def t_langid(spark, sf_dir):
+    """Heuristic language ID per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.detect_language(F.col("text")).alias("lang_detected"))
+
+
+T_LANGID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(regexp_replace(text, '[^가-힣]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) > 0.2 THEN 'ko'
+            WHEN {_SW_RATIO_SQL} >= 0.05 THEN 'en'
+            ELSE 'unknown' END AS lang_detected
+FROM documents
+"""
+
+
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprinting (md5 of normalized text)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+T_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_NORM_SQL.format(v='text')}) AS fingerprint FROM documents
+"""
+
+
+# ===========================================================================
+# dedup family — planted near-duplicates (doc_id+1000000 = truncated copy)
+# make the results non-trivial; the planting is part of the query in BOTH
+# engines so inputs stay identical.
+# ===========================================================================
+
+
+def _with_planted_dups(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, F.floor(F.length("text") * 0.9).cast("int")),
+            F.lit(" tail marker"),
+        ).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+_PLANTED_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       substring(text, 1, CAST(floor(length(text) * 0.9) AS INT)) || ' tail marker' AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def dedup_exact_q(spark, sf_dir):
+    corpus = _with_planted_dups(spark, sf_dir)
+    # plant exact dups too: doc_id+2000000 = identical copy for doc_id%11==0
+    exact = corpus.where((F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 1000000)).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return dedup.dedup_exact(corpus.unionByName(exact))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS (
+  {_PLANTED_SQL}
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM ({_PLANTED_SQL})
+  WHERE doc_id % 11 = 0 AND doc_id < 1000000
+)
+SELECT md5({_NORM_SQL.format(v='text')}) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM corpus
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+def dedup_minhash_q(spark, sf_dir):
+    corpus = _with_planted_dups(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        corpus, shingle_k=3, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+
+
+def _shingles3_sql(rel: str) -> str:
+    """3-word shingles of normalized text as a DuckDB list expression."""
+    toks = _TOKENS_SQL.format(v="text")
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
+        f"ELSE [] END)"
+    )
+
+
+def _minhash_sql(h: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5(s || '#{h}')))"
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH corpus AS ({_PLANTED_SQL}),
+sh AS (
+  SELECT doc_id AS id, {_shingles3_sql('corpus')} AS shingles FROM corpus
+  WHERE len({_shingles3_sql('corpus')}) > 0
+),
+sigs AS (
+  SELECT id, shingles,
+         {", ".join(f"{_minhash_sql(h)} AS h{h}" for h in range(8))}
+  FROM sh
+),
+buckets AS (
+  SELECT id, shingles, b.band, b.key
+  FROM sigs, UNNEST([
+    {{'band': 0, 'key': md5(h0 || '|' || h1)}},
+    {{'band': 1, 'key': md5(h2 || '|' || h3)}},
+    {{'band': 2, 'key': md5(h4 || '|' || h5)}},
+    {{'band': 3, 'key': md5(h6 || '|' || h7)}}
+  ]) AS t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         ROUND(CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 0.0
+              ELSE len(list_intersect(a.shingles, b.shingles))
+                   / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) END, 4)
+         AS jaccard
+  FROM buckets a JOIN buckets b ON a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+def dedup_ngram_q(spark, sf_dir):
+    corpus = _with_planted_dups(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(corpus, ngram_n=5, threshold=0.7)
+
+
+def _grams5_sql() -> str:
+    norm = _NORM_SQL.format(v="text")
+    return (
+        f"list_distinct(CASE WHEN len({norm}) >= 5 THEN "
+        f"list_transform(range(1, len({norm}) - 3), i -> substring({norm}, i, 5)) "
+        f"ELSE [] END)"
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH corpus AS ({_PLANTED_SQL}),
+base AS (
+  SELECT doc_id AS id, {_grams5_sql()} AS grams, len({_NORM_SQL.format(v='text')}) AS l
+  FROM corpus WHERE len({_grams5_sql()}) > 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(len(list_intersect(a.grams, b.grams))
+             / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE), 4) AS jaccard
+FROM base a JOIN base b
+  ON a.id < b.id AND abs(a.l - b.l) <= a.l * 0.2
+WHERE ROUND(len(list_intersect(a.grams, b.grams))
+      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE), 4) >= 0.7
+"""
+
+
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash signatures (hex) per planted-dup corpus doc; pairing is
+    covered by the Spark-side operator test (non-SQL-friendly bit kernel)."""
+    corpus = _with_planted_dups(spark, sf_dir)
+    sigs = dedup.simhash_signatures(corpus)
+    return sigs.select("id", F.lpad(F.hex("simhash"), 16, "0").alias("simhash_hex"))
+
+
+def _sql_simhash_bit(bit: int) -> str:
+    toks = _TOKENS_SQL.format(v="text")
+    salt = bit // 32
+    pos = bit % 32
+    vote = (
+        f"list_sum(list_transform({toks}, t -> CASE WHEN "
+        f"substring(md5(t || '#s{salt}'), {pos + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
+    )
+    return f"(CASE WHEN {vote} > 0 THEN 1 ELSE 0 END)"
+
+
+def _simhash_hex_sql() -> str:
+    """16 hex nibbles MSB-first (avoids any 64-bit shift overflow)."""
+    nibbles = []
+    for k in range(15, -1, -1):
+        b0 = _sql_simhash_bit(4 * k)
+        b1 = _sql_simhash_bit(4 * k + 1)
+        b2 = _sql_simhash_bit(4 * k + 2)
+        b3 = _sql_simhash_bit(4 * k + 3)
+        nibbles.append(
+            f"substring('0123456789ABCDEF', {b0} + 2*{b1} + 4*{b2} + 8*{b3} + 1, 1)"
+        )
+    return " || ".join(nibbles)
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH corpus AS ({_PLANTED_SQL})
+SELECT doc_id AS id, {_simhash_hex_sql()} AS simhash_hex
+FROM corpus
+"""
+
+
+# ===========================================================================
+# similarity search over embeddings
+# ===========================================================================
+
+
+def ann_brute_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ann.brute_force_topk(emb, queries, k=5)
+
+
+ANN_BRUTE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, corpus_id,
+         ROUND(list_dot_product(qvec, cvec)
+               / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 4)
+         AS cosine
+  FROM q JOIN c ON query_id != corpus_id
+),
+ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ann.lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+
+
+def _planes_sql() -> str:
+    planes = ann.deterministic_planes(64, 8)
+    bits = []
+    for p in planes:
+        dot = " + ".join(f"v[{i+1}] * ({w!r})" for i, w in enumerate(p))
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+ANN_LSH_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_planes_sql()} AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qvec, bucket FROM sig WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS corpus_id, v AS cvec, bucket FROM sig),
+scored AS (
+  SELECT query_id, corpus_id,
+         ROUND(list_dot_product(qvec, cvec)
+               / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 4)
+         AS cosine
+  FROM q JOIN c USING (bucket) WHERE query_id != corpus_id
+),
+ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+
+# ===========================================================================
+# scalar-bank queries (F-family) — oracle SQL GENERATED from banks so the two
+# engines share one source of truth. SQL uses staged subqueries (one stage per
+# cleaner pass) to keep text linear, mirroring functions.cleaners.let().
+# ===========================================================================
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_in(v: str, items: list[str]) -> str:
+    return f"{v} IN ({', '.join(_q(i) for i in items)})"
+
+
+def _sql_split_merged(v: str) -> str:
+    return f"""
+CASE WHEN {v} IS NULL OR {v} = '' THEN {v}
+     WHEN len(regexp_extract_all({v}, {_q(banks.MERGED_SCIENTIFIC)}, 1)) >= 2
+          THEN regexp_extract_all({v}, {_q(banks.MERGED_SCIENTIFIC)}, 1)[1]
+     WHEN len(regexp_extract_all({v}, {_q(banks.MERGED_LESS_THAN)})) >= 2
+          THEN regexp_extract_all({v}, {_q(banks.MERGED_LESS_THAN)})[1]
+     ELSE {v} END"""
+
+
+def _sql_remove_noise(v: str) -> str:
+    inner = (
+        f"trim(replace(replace(replace(replace(replace(replace("
+        f"regexp_replace({v}, ':selected:|:unselected:', '', 'g'),"
+        f" '\"', ''), '''', ''), '°', ''), '€', ''), chr(10), ' '), chr(13), ' '))"
+    )
+    return f"CASE WHEN {v} IS NULL OR {v} = '' THEN {v} ELSE {inner} END"
+
+
+def _sql_fix_lt10(v: str) -> str:
+    """F6 CASE chain, tier order identical to the oracle/Catalyst versions."""
+    t = f"trim({v})"
+    tiers = [
+        (f"{_sql_in(t, banks.MEANINGLESS_LITERALS)}", "''"),
+        (f"{_sql_in(t, banks.LESS_THAN_10_LITERALS)}", "'<10'"),
+        (f"regexp_matches({t}, '^<\\s*10[\\?\\-\\)]+$')", "'<10'"),
+        (f"regexp_matches({t}, '(?i)^<\\s*[czsCZS]ion')", "'<10'"),
+        (f"regexp_matches({t}, '^\\d$')", "'<10'"),
+        (f"{t} = '00'", "'<10'"),
+        (f"regexp_matches({t}, '^<\\s*10[\\^]?2$')", "'<10^2'"),
+        (f"regexp_matches({t}, '^<\\s*10[\\^]?2,?$')", "'<10^2'"),
+        (f"regexp_matches({t}, '^<\\s*10\\s+2$')", "'<10^2'"),
+        (f"{_sql_in(t, banks.LT10E2_LITERALS)}", "'<10^2'"),
+        (f"regexp_matches({t}, '(?i)^[SC]I0?2,?$')", "'<10^2'"),
+        (f"regexp_matches({t}, '^[5C6]/0?2$')", "'<10^2'"),
+        (f"regexp_matches({t}, '^\\(\\s*10?2,?$')", "'<10^2'"),
+        (f"regexp_matches({t}, '(?i)^[SC]I0?2\\s+2$')", "'<10^2'"),
+        (f"regexp_matches({t}, '^\\d+[45]102$')", "'<10^2'"),
+        (f"{_sql_in(t, banks.LT10_TIER3_LITERALS)}", "'<10'"),
+        (f"regexp_matches({t}, '^\\d+\\s*<\\s*10')", "'<10'"),
+        (f"{t} = '103'", "'<10^3'"),
+        (f"regexp_matches({t}, '^<\\s*10\\s*[\"''\\s\\?\\-\\)]*$')", "'<10'"),
+        (f"{t} IN ('<10', '< 10')", "'<10'"),
+    ]
+    whens = "\n     ".join(f"WHEN {cond} THEN {res}" for cond, res in tiers)
+    return f"""
+CASE WHEN {v} IS NULL OR {v} = '' THEN {v}
+     {whens}
+     ELSE {t} END"""
+
+
+def _sql_normalize_sci(v: str) -> str:
+    t = f"replace(replace(trim({v}), 'X', '×'), 'x', '×')"
+    prefix = (
+        f"CASE WHEN starts_with({t}, '<') THEN '<' "
+        f"WHEN starts_with({t}, '≤') THEN '≤' ELSE '' END"
+    )
+    b1 = f"regexp_extract({t}, {_q(banks.SCIENTIFIC_SPACED)}, 1)"
+    e1 = f"regexp_extract({t}, {_q(banks.SCIENTIFIC_SPACED)}, 2)"
+    b2 = f"regexp_extract({t}, {_q(banks.SCIENTIFIC_TIGHT)}, 1)"
+    e2 = f"regexp_extract({t}, {_q(banks.SCIENTIFIC_TIGHT)}, 2)"
+    return f"""
+CASE WHEN {v} IS NULL OR {v} = '' THEN {v}
+     WHEN {b1} != '' THEN {prefix} || {b1} || '×10^' ||
+          CASE WHEN {e1} = '' THEN '0' ELSE {e1} END
+     WHEN {b2} != '' THEN {prefix} || {b2} || '×10^' || {e2}
+     ELSE {t} END"""
+
+
+def _sql_fix_7day(v: str, orig: str) -> str:
+    clear = sorted({p for pat in banks.CLEAR_LT10_ORIGINALS for p in (pat, pat.replace(" ", ""))})
+    amb = " OR ".join(f"contains(trim({orig}), {_q(p)})" for p in banks.AMBIGUOUS_LT10_ORIGINALS)
+    return f"""
+CASE WHEN contains({v}, '^') THEN {v}
+     WHEN {v} != '<10' THEN {v}
+     WHEN {_sql_in(f'trim({orig})', clear)} THEN '<10'
+     WHEN {amb} THEN '<10^2'
+     ELSE '<10' END"""
+
+
+# fixed raw-value corpus for the bank queries: every bank literal + noisy forms
+_CFU_RAW = (
+    banks.LESS_THAN_10_LITERALS
+    + banks.LT10E2_LITERALS
+    + banks.LT10_TIER3_LITERALS
+    + banks.MEANINGLESS_LITERALS
+    + [
+        "5.5X105", "7.0X102 1.0 ×103", "6.0 × 10", "<6.1 × 100", "< 10 2",
+        "<10?", "< cion", "1", "103", "2 <10", "SI02 2", "( 102", "5/02",
+        ":selected:40", "≤3", "5.5 × 10 5", "1.0×103", "9.9X10^9", "45102",
+        '" <10', "hello",
+    ]
+)
+
+
+def _cfu_values_sql() -> str:
+    lits = ", ".join(_q(s) for s in _CFU_RAW)
+    return f"""
+SELECT o_orderkey AS key, ([{lits}])[CAST(o_orderkey % {len(_CFU_RAW)} AS INT) + 1] AS raw
+FROM orders
+"""
+
+
+def f6_f7_clean_chain(spark, sf_dir):
+    """F4→F5→F6→F7(→F11) integrated clean chain over the full misread bank,
+    keyed off orders (so the driver exercises it at every sf)."""
+    orders = load(spark, sf_dir, "orders")
+    raw = F.element_at(
+        F.lit(_CFU_RAW), (F.col("o_orderkey") % len(_CFU_RAW)).cast("int") + 1
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("key"),
+        raw.alias("raw"),
+        C.clean_cfu_value(raw, "0").alias("clean_0"),
+        C.clean_cfu_value(raw, "7").alias("clean_7"),
+        C.clean_cfu_value(raw, "14").alias("clean_14"),
+    )
+
+
+def _f6_sql() -> str:
+    return f"""
+WITH base AS ({_cfu_values_sql()}),
+s1 AS (SELECT key, raw, {_sql_split_merged('raw')} AS v1 FROM base),
+s2 AS (SELECT key, raw, {_sql_remove_noise('v1')} AS v2 FROM s1),
+s3 AS (SELECT key, raw, v2, {_sql_fix_lt10('v2')} AS v3 FROM s2),
+s4 AS (SELECT key, raw,
+              {_sql_normalize_sci('v2')} AS c0,
+              {_sql_normalize_sci('v3')} AS c7n,
+              {_sql_normalize_sci('v3')} AS c14 FROM s3),
+s5 AS (SELECT key, raw, c0, {_sql_fix_7day('c7n', 'raw')} AS c7, c14 FROM s4)
+SELECT key, raw,
+       CASE WHEN raw IS NULL OR raw = '' THEN '' ELSE c0 END AS clean_0,
+       CASE WHEN raw IS NULL OR raw = '' THEN '' ELSE c7 END AS clean_7,
+       CASE WHEN raw IS NULL OR raw = '' THEN '' ELSE c14 END AS clean_14
+FROM s5
+"""
+
+
+def f20_log_convert(spark, sf_dir):
+    """F20 — CFU→log₁₀ over canonical cleaned values."""
+    vals = ["5.5×10^5", "<10", "<10^2", "<10^3", "1000", "100", "≤3", "9.9×10^9",
+            "1.0×10^0", "7.5×10^3", "2.2×10^2", "oops"]
+    orders = load(spark, sf_dir, "orders")
+    v = F.element_at(F.lit(vals), (F.col("o_orderkey") % len(vals)).cast("int") + 1)
+    return orders.select(
+        F.col("o_orderkey").alias("key"), v.alias("cfu"), C.convert_to_log(v).alias("log_cfu")
+    )
+
+
+def _f20_sql() -> str:
+    vals = ["5.5×10^5", "<10", "<10^2", "<10^3", "1000", "100", "≤3", "9.9×10^9",
+            "1.0×10^0", "7.5×10^3", "2.2×10^2", "oops"]
+    lits = ", ".join(_q(s) for s in vals)
+    v = "cfu"
+    ce = f"regexp_extract({v}, '<10\\^(\\d+)', 1)"
+    base = f"try_cast(regexp_extract({v}, '^([0-9.]+)×10\\^(\\d+)', 1) AS DOUBLE)"
+    expn = f"try_cast(regexp_extract({v}, '^([0-9.]+)×10\\^(\\d+)', 2) AS INT)"
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS key, ([{lits}])[CAST(o_orderkey % {len(vals)} AS INT) + 1] AS cfu
+  FROM orders
+)
+SELECT key, cfu,
+  CASE WHEN {v} IS NULL OR {v} = '' THEN ''
+       WHEN contains({v}, '<') AND {ce} != '' THEN '<' || {ce} || '.0'
+       WHEN contains({v}, '<') THEN '<1.0'
+       WHEN {base} IS NOT NULL
+            THEN CAST(ROUND({expn} + log10({base}), 1) AS VARCHAR)
+       WHEN try_cast({v} AS DOUBLE) IS NOT NULL
+            THEN CAST(ROUND(log10(try_cast({v} AS DOUBLE)), 1) AS VARCHAR)
+       ELSE {v} END AS log_cfu
+FROM base
+"""
+
+
+_BULK_FORMS = [
+    "어린이버블클렌저 {p} {t}",
+    "수분크림 {p} {t}",
+    "선크림 {t} {p}",
+    "에센스 {p}- {t}",
+    "{p} 크림 {t}",
+]
+
+
+def f3_id_extraction(spark, sf_dir):
+    """F1/F2/F3 — bulk-name preprocess + test#/prescription# extraction with
+    OCR repair, over synthesized noisy bulk strings keyed off orders."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    letter = F.chr((k % 12) + 65)
+    marker = F.element_at(F.lit(["I", "1", "|", "!"]), (k % 4).cast("int") + 1)
+    test = F.concat(
+        F.lit("2"), ((k % 3) + 4).cast("string"), letter,
+        F.lpad(((k % 20) + 10).cast("string"), 2, "0"), marker,
+        F.lpad(((k % 90) + 10).cast("string"), 2, "0"),
+    )
+    presc = F.concat(
+        F.element_at(F.lit(["GB", "CCA", "LAF", "WC"]), (k % 4).cast("int") + 1),
+        ((k % 9000) + 1000).cast("string"),
+        F.lit("-"),
+        F.element_at(F.lit(["ZMB", "VAA", "OZ2A", "AZLY1", "11F"]), (k % 5).cast("int") + 1),
+    )
+    form = F.element_at(F.lit(_BULK_FORMS), (k % len(_BULK_FORMS)).cast("int") + 1)
+    bulk = F.replace(F.replace(form, F.lit("{p}"), presc), F.lit("{t}"), test)
+    return orders.select(
+        k.alias("key"),
+        bulk.alias("bulk"),
+        C.extract_test_number(bulk).alias("test_number"),
+        C.extract_prescription_number(bulk).alias("prescription_number"),
+    )
+
+
+def _f3_sql() -> str:
+    forms = ", ".join(_q(s) for s in _BULK_FORMS)
+    pre = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "replace(replace(upper(bulk), '!', 'I'), '|', 'I'),"
+        " '-\\s+', '-', 'g'), '\\s+-', '-', 'g'), '-+', '-', 'g'), '\\s+', ' ', 'g')"
+    )
+    test_pats = [
+        r"\b(2[0-9][A-Z]\d{2}[I!|1]\d{2})\b",
+        r"\b(2[0-9][E]\d{2}1\d{2})\b",
+    ]
+    presc_pats = [
+        r"\b([A-Z]{2,4}\d{4,5}[A-Z]?-[A-Z]{1,5}\d?)\b",
+        r"\b([A-Z]{3}\d{5}-[A-Z]{2,4})\b",
+        r"\b(M-[A-Z]{2,4}\d{4,5}-[A-Z]{1,4}\d?)\b",
+        r"\b([A-Z]{2,4}\d{3,6}-[A-Z]{1,5})\b",
+        r"\b([A-Z]{2,5}\d{4}-[A-Z]{1,3}\d{0,2})\b",
+        r"\b([A-Z]{1,3}\d{4,5}-[A-Z]{2,4}[A-Z]?)\b",
+        r"\b([A-Z]{2,4}\d{4}-[A-Z]\d[A-Z]{1,3})\b",
+        r"\b([A-Z]{2,4}\d{3,4}[A-Z]?-[A-Z]{1,4}\d*)\b",
+        r"\b([A-Z]{2,4}\d{4}-\d{1,2}[A-Z]{1,2})\b",
+        r"\b([A-Z]{2,4}\d{4,5}[A-Z]?-\s*[A-Z]{1,5}\d?)\b",
+        r"\b([A-Z]{2,4}\d{4,5}[A-Z]?-\s*[A-Z]+\d+[A-Z]+)\b",
+        r"\b([A-Z]{2,4}\d{4,5}[A-Z]?-[A-Z]{1,5}\d[A-Z]+)\b",
+        r"\b([A-Z]{2,4}\d{3,5}-[A-Z]{1,4}\d{1,2})\b",
+        r"\b([A-Z]{2,5}\d{3,5}-[A-Z]{2,5}[A-Z\d]*)\b",
+    ]
+    tchain = "COALESCE(" + ", ".join(
+        f"NULLIF(regexp_extract(t, {_q(p)}, 1), '')" for p in test_pats
+    ) + ", '')"
+    pchain = "COALESCE(" + ", ".join(
+        f"NULLIF(regexp_extract(t, {_q(p)}, 1), '')" for p in presc_pats
+    ) + ", '')"
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS key,
+         replace(replace(
+           (['{"', '".join(s.replace("'", "''") for s in _BULK_FORMS)}'])
+             [CAST(o_orderkey % {len(_BULK_FORMS)} AS INT) + 1],
+           '{{p}}',
+           (['GB','CCA','LAF','WC'])[CAST(o_orderkey % 4 AS INT) + 1]
+             || CAST((o_orderkey % 9000) + 1000 AS VARCHAR) || '-'
+             || (['ZMB','VAA','OZ2A','AZLY1','11F'])[CAST(o_orderkey % 5 AS INT) + 1]),
+           '{{t}}',
+           '2' || CAST((o_orderkey % 3) + 4 AS VARCHAR)
+             || chr(CAST((o_orderkey % 12) + 65 AS INT))
+             || lpad(CAST((o_orderkey % 20) + 10 AS VARCHAR), 2, '0')
+             || (['I','1','|','!'])[CAST(o_orderkey % 4 AS INT) + 1]
+             || lpad(CAST((o_orderkey % 90) + 10 AS VARCHAR), 2, '0'))
+         AS bulk
+  FROM orders
+),
+pp AS (SELECT key, bulk, {pre} AS t FROM base)
+SELECT key, bulk,
+       replace(replace(
+         regexp_replace({tchain}, '([A-Z])(\\d{{2}})1(\\d{{2}})', '\\1\\2I\\3'),
+         '|', 'I'), '!', 'I') AS test_number,
+       trim({pchain}) AS prescription_number
+FROM pp
+"""
+
+
+def f17_date_ladder(spark, sf_dir):
+    """F17/F21 — +7/+14/+28-day ladder as MM/dd strings from o_orderdate."""
+    orders = load(spark, sf_dir, "orders")
+    d0 = F.to_date("o_orderdate")
+    return orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.date_format(d0, "MM/dd").alias("date_0"),
+        F.date_format(F.date_add(d0, 7), "MM/dd").alias("date_7"),
+        F.date_format(F.date_add(d0, 14), "MM/dd").alias("date_14"),
+        F.date_format(F.date_add(d0, 28), "MM/dd").alias("date_28"),
+    )
+
+
+F17_SQL = """
+SELECT o_orderkey AS key,
+       strftime(CAST(o_orderdate AS DATE), '%m/%d') AS date_0,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY, '%m/%d') AS date_7,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 14 DAY, '%m/%d') AS date_14,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 28 DAY, '%m/%d') AS date_28
+FROM orders
+"""
+
+
+def f15_consecutive_dates(spark, sf_dir):
+    """F15 — consecutive 'MM DD ×4' date-string parse, synthesized from keys."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = (k % 12) + 1
+    d = (k % 20) + 1
+    raw = F.concat_ws(
+        " ",
+        F.lpad(m.cast("string"), 2, "0"), F.lpad(d.cast("string"), 2, "0"),
+        F.lpad(m.cast("string"), 2, "0"), F.lpad((d + 7).cast("string"), 2, "0"),
+        F.lpad(((m % 12) + 1).cast("string"), 2, "0"), F.lpad(d.cast("string"), 2, "0"),
+        F.lpad(((m % 12) + 1).cast("string"), 2, "0"), F.lpad((d + 7).cast("string"), 2, "0"),
+    )
+    # every 5th row gets a junk string (non-parse path)
+    raw = F.when(k % 5 == 0, F.lit("no dates here")).otherwise(raw)
+    return orders.select(
+        k.alias("key"),
+        raw.alias("raw"),
+        F.concat_ws(",", C.parse_consecutive_dates(raw)).alias("dates"),
+    )
+
+
+F15_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'no dates here'
+              ELSE lpad(CAST((o_orderkey % 12) + 1 AS VARCHAR), 2, '0') || ' ' ||
+                   lpad(CAST((o_orderkey % 20) + 1 AS VARCHAR), 2, '0') || ' ' ||
+                   lpad(CAST((o_orderkey % 12) + 1 AS VARCHAR), 2, '0') || ' ' ||
+                   lpad(CAST((o_orderkey % 20) + 8 AS VARCHAR), 2, '0') || ' ' ||
+                   lpad(CAST(((o_orderkey % 12) + 1) % 12 + 1 AS VARCHAR), 2, '0') || ' ' ||
+                   lpad(CAST((o_orderkey % 20) + 1 AS VARCHAR), 2, '0') || ' ' ||
+                   lpad(CAST(((o_orderkey % 12) + 1) % 12 + 1 AS VARCHAR), 2, '0') || ' ' ||
+                   lpad(CAST((o_orderkey % 20) + 8 AS VARCHAR), 2, '0')
+         END AS raw
+  FROM orders
+),
+toks AS (
+  SELECT key, raw, list_filter(string_split(trim(raw), ' '), x -> x != '') AS parts
+  FROM base
+)
+SELECT key, raw,
+       CASE WHEN len(parts) >= 8
+                 AND len(list_filter(parts, p -> NOT regexp_matches(p, '^\\d{2}$'))) = 0
+            THEN parts[1] || '/' || parts[2] || ',' || parts[3] || '/' || parts[4] || ','
+                 || parts[5] || '/' || parts[6] || ',' || parts[7] || '/' || parts[8]
+            ELSE '' END AS dates
+FROM toks
+"""
+
+
+# ===========================================================================
+# flagship entry: interleaved extraction over testdata documents
+# ===========================================================================
+
+
+def flagship_entry(spark, sf_dir):
+    """Build an interleaved (doc_id, spans) corpus from the documents table —
+    one text span + one boilerplate-html span + one preservation table_html
+    span per doc, all synthesized with JVM-side expressions — and run the full
+    normalize_spans pipeline over it."""
+    from micro_lab_ocr_spark.pipeline import extract as px
+
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    letter = F.chr((k % 12) + 65)
+    test = F.concat(
+        F.lit("2"), ((k % 3) + 4).cast("string"), letter,
+        F.lpad(((k % 20) + 10).cast("string"), 2, "0"),
+        F.element_at(F.lit(["I", "1", "|", "!"]), (k % 4).cast("int") + 1),
+        F.lpad(((k % 90) + 10).cast("string"), 2, "0"),
+    )
+    presc = F.concat(
+        F.element_at(F.lit(["GB", "CCA", "LAF", "WC"]), (k % 4).cast("int") + 1),
+        ((k % 9000) + 1000).cast("string"), F.lit("-"),
+        F.element_at(F.lit(["ZMB", "VAA", "OZ2A", "AZLY1", "11F"]), (k % 5).cast("int") + 1),
+    )
+    cfu7 = F.element_at(F.lit(["40", "CIO", "<10", "110", "4102"]), (k % 5).cast("int") + 1)
+    table_html = F.concat(
+        F.lit("<table><tr><td>보존력 시험</td></tr><tr><td>"),
+        F.lpad(((k % 12) + 1).cast("string"), 2, "0"), F.lit("/"),
+        F.lpad(((k % 20) + 1).cast("string"), 2, "0"),
+        F.lit("</td><td>일자</td></tr>"),
+        F.lit('<tr><td rowspan="2">제품명 '), presc, F.lit(" "), test,
+        F.lit("</td><td>E.coli</td><td>≤3</td><td>5.5X105</td><td>"), cfu7,
+        F.lit("</td><td>40</td><td>110</td><td>0</td><td>X</td></tr>"),
+        F.lit("<tr><td>C.albicans</td><td>≤3</td><td>6.1X104</td><td>"), cfu7,
+        F.lit("</td><td>CIO</td><td>&lt;1&gt;</td><td></td><td>0</td></tr></table>"),
+    )
+    html = F.concat(
+        F.lit("<html><body><nav><div><a href='/x'>nav one</a> <a href='/y'>nav two</a></div></nav>"
+              "<div id='c'><p>"),
+        F.col("text"),
+        F.lit("</p></div><footer><div>footer text</div></footer></body></html>"),
+    )
+    interleaved = docs.select(
+        k.cast("string").alias("doc_id"),
+        F.array(
+            F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                     F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+            F.struct(F.lit("html").alias("kind"), html.alias("text"),
+                     F.lit("").alias("media_ref"), F.lit(1).alias("offset")),
+            F.struct(F.lit("table_html").alias("kind"), table_html.alias("text"),
+                     F.lit("").alias("media_ref"), F.lit(2).alias("offset")),
+        ).alias("spans"),
+    )
+    media = spark.createDataFrame([], "media_ref string, content binary")
+    return px.normalize_spans(interleaved, media)
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+REGISTRY: dict[str, tuple] = {
+    # name: (spark_fn, oracle_sql_or_None)
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "j1_enrich_broadcast": (j1_enrich_broadcast, J1_SQL),
+    "a3_distinct_stats": (a3_distinct_stats, A3_SQL),
+    "r3_pivot": (r3_pivot, R3_SQL),
+    "w1_filldown": (w1_filldown, W1_SQL),
+    "w4_running_count": (w4_running_count, W4_SQL),
+    "w6_lag_blank": (w6_lag_blank, W6_SQL),
+    "w7_fill_up_restore": (w7_fill_up_restore, W7_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "t_token_stats": (t_token_stats, T_TOKENS_SQL),
+    "t_quality": (t_quality, T_QUALITY_SQL),
+    "t_langid": (t_langid, T_LANGID_SQL),
+    "t_fingerprint": (t_fingerprint, T_FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact_q, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_q, DEDUP_MINHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_q, DEDUP_NGRAM_SQL),
+    "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
+    "ann_brute_cosine_topk": (ann_brute_topk, ANN_BRUTE_SQL),
+    "ann_lsh_cosine_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "f6_f7_clean_chain": (f6_f7_clean_chain, None),  # SQL generated lazily
+    "f20_log_convert": (f20_log_convert, None),
+    "f3_id_extraction": (f3_id_extraction, None),
+    "f17_date_ladder": (f17_date_ladder, F17_SQL),
+    "f15_consecutive_dates": (f15_consecutive_dates, F15_SQL),
+}
+
+
+def queries_dict():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql_dict():
+    out = {}
+    for name, (_, sql) in REGISTRY.items():
+        if sql is not None:
+            out[name] = sql
+    out["f6_f7_clean_chain"] = _f6_sql()
+    out["f20_log_convert"] = _f20_sql()
+    out["f3_id_extraction"] = _f3_sql()
+    return out

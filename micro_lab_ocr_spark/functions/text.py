@@ -36,26 +36,39 @@ def token_count(col: Column) -> Column:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles (n-grams) of the normalized text → array<string>.
-    (``sequence(1, 0)`` DESCENDS in Spark, so short docs need an explicit
-    empty-array guard.)"""
-    toks = tokens(col)
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
-    return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
+
+    The token array is let-bound — without it every ``element_at`` reference
+    re-tokenizes the document (observed 150× recompute per doc). And
+    ``sequence(1, 0)`` DESCENDS in Spark, so short docs need an explicit
+    empty-array guard.
+    """
+    from micro_lab_ocr_spark.functions.cleaners import let
+
+    def inner(toks: Column) -> Column:
+        n = F.size(toks)
+        shingles = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        )
+        return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(col), inner)
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
-    """Character n-grams of normalized text → array<string>."""
-    t = normalize_text(col)
-    ln = F.length(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), ln - (n - 1)),
-        lambda i: F.substring(t, i, F.lit(n)).cast("string"),
-    )
-    return F.when(ln >= n, grams).otherwise(F.array().cast("array<string>"))
+    """Character n-grams of normalized text → array<string> (normalized text
+    let-bound — see word_shingles)."""
+    from micro_lab_ocr_spark.functions.cleaners import let
+
+    def inner(t: Column) -> Column:
+        ln = F.length(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: F.substring(t, i, F.lit(n)).cast("string"),
+        )
+        return F.when(ln >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return let(normalize_text(col), inner)
 
 
 def md5_hash(col: Column, seed: int | None = None) -> Column:
@@ -77,36 +90,48 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     (``lambda s, i=i``) would make F.transform pass the ARRAY INDEX as ``i``.
     """
 
-    def min_hash(salt: int) -> Column:
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{salt}"))))
-        )
+    from micro_lab_ocr_spark.functions.cleaners import let
 
-    return F.array(*[min_hash(i) for i in range(num_hashes)])
+    def inner(sh: Column) -> Column:
+        def min_hash(salt: int) -> Column:
+            return F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{salt}"))))
+            )
+
+        return F.array(*[min_hash(i) for i in range(num_hashes)])
+
+    return let(shingles, inner)
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Band the signature for LSH: array<struct<band:int, key:string>>.
 
     Two docs sharing any band key are near-dup candidates (join on key).
+    The signature is let-bound so each band key references it without
+    recomputing the full MinHash (Catalyst re-inlines plain column refs).
     """
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at(signature, b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    from micro_lab_ocr_spark.functions.cleaners import let
+
+    def inner(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(sig, b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    return let(signature, inner)
 
 
 def simhash64(col: Column) -> Column:
@@ -116,28 +141,37 @@ def simhash64(col: Column) -> Column:
     the vote is positive. Bits derive from the md5 hex digest of each token:
     bit i = parity of hex digit i mod 32 (two digests salted for 64 bits).
     """
-    toks = tokens(col)
+    from micro_lab_ocr_spark.functions.cleaners import let, let2
 
-    def bit_votes(bit: int) -> Column:
-        # bit 0..63 → salted digest half + hex char position
-        salt = bit // 32
-        pos = bit % 32
-        digit = F.transform(
-            toks,
-            lambda t: F.when(
-                F.substring(F.md5(F.concat(t, F.lit(f"#s{salt}"))), pos + 1, 1).rlike("[89abcdef]"),
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        votes = F.aggregate(digit, F.lit(0), lambda acc, x: acc + x)
-        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    def with_digests(d0: Column, d1: Column) -> Column:
+        def bit_votes(bit: int) -> Column:
+            # bit 0..63 → salted digest half + hex char position; the two
+            # md5 digests per token are computed ONCE (let2-bound arrays) —
+            # inlining them here would cost 64 digests per token
+            digests = d0 if bit < 32 else d1
+            pos = bit % 32
+            digit = F.transform(
+                digests,
+                lambda d: F.when(
+                    F.substring(d, pos + 1, 1).rlike("[89abcdef]"), F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+            votes = F.aggregate(digit, F.lit(0), lambda acc, x: acc + x)
+            return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        # shiftleft (not a 1<<63 literal — that overflows LongType); bit 63
-        # lands on the sign bit, giving the full two's-complement 64-bit hash
-        out = out + F.shiftleft(bit_votes(i), i)
-    return out
+        out = F.lit(0).cast("long")
+        for i in range(64):
+            # shiftleft (not a 1<<63 literal — that overflows LongType); bit
+            # 63 lands on the sign bit → full two's-complement 64-bit hash
+            out = out + F.shiftleft(bit_votes(i), i)
+        return out
+
+    def inner(toks: Column) -> Column:
+        d0 = F.transform(toks, lambda t: F.md5(F.concat(t, F.lit("#s0"))))
+        d1 = F.transform(toks, lambda t: F.md5(F.concat(t, F.lit("#s1"))))
+        return let2(d0, d1, with_digests)
+
+    return let(tokens(col), inner)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -156,10 +190,15 @@ def jaccard(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def stopword_ratio(col: Column) -> Column:
-    toks = tokens(col)
+def _sw_ratio_of(toks: Column) -> Column:
     sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(sw / F.size(toks))
+
+
+def stopword_ratio(col: Column) -> Column:
+    from micro_lab_ocr_spark.functions.cleaners import let
+
+    return let(tokens(col), _sw_ratio_of)
 
 
 def detect_language(col: Column) -> Column:
@@ -178,16 +217,23 @@ def detect_language(col: Column) -> Column:
 
 def quality_score(col: Column) -> Column:
     """Composite document-quality score in [0,1]: length, punctuation
-    density, stopword ratio, mean word length — each clipped linear."""
-    n_tok = token_count(col)
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    punct = F.length(F.regexp_replace(col, r"[^!?.,;:]", ""))
-    punct_ratio = punct / F.greatest(F.length(col), F.lit(1))
-    punct_score = F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))
-    sw_score = F.least(stopword_ratio(col) * 4, F.lit(1.0))
-    mean_wlen = F.length(normalize_text(col)) / F.greatest(n_tok, F.lit(1))
-    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round((len_score + punct_score + sw_score + wlen_score) / 4, 4)
+    density, stopword ratio, mean word length — each clipped linear.
+    Token array is let-bound: one tokenize per row, not five."""
+    from micro_lab_ocr_spark.functions.cleaners import let
+
+    def inner(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        punct = F.length(F.regexp_replace(col, r"[^!?.,;:]", ""))
+        punct_ratio = punct / F.greatest(F.length(col), F.lit(1))
+        punct_score = F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))
+        sw_score = F.least(_sw_ratio_of(toks) * 4, F.lit(1.0))
+        # mean word length over the same token set (chars incl. separators)
+        mean_wlen = F.length(normalize_text(col)) / F.greatest(n_tok, F.lit(1))
+        wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+        return F.round((len_score + punct_score + sw_score + wlen_score) / 4, 4)
+
+    return let(tokens(col), inner)
 
 
 def doc_fingerprint(col: Column) -> Column:

@@ -53,10 +53,16 @@ def minhash_lsh_pairs(
     column when requested).
     """
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(T.word_shingles(F.col(text_col), shingle_k)).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        docs.repartition(n_part, F.col(id_col))  # small scans → few splits;
+        # spread the CPU-heavy shingling across all cores
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(T.word_shingles(F.col(text_col), shingle_k)).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+    )
     sigs = base.select(
         "id",
         "shingles",
@@ -101,11 +107,16 @@ def ngram_jaccard_pairs(
     baseline against which LSH recall is judged. O(n²) within band; intended
     for verification scale, with the banded join keeping candidate count sane.
     """
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(T.char_ngrams(F.col(text_col), ngram_n)).alias("grams"),
-        F.length(T.normalize_text(F.col(text_col))).alias("len"),
-    ).where(F.size("grams") > 0)
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        docs.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(T.char_ngrams(F.col(text_col), ngram_n)).alias("grams"),
+            F.length(T.normalize_text(F.col(text_col))).alias("len"),
+        )
+        .where(F.size("grams") > 0)
+    )
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
@@ -125,7 +136,8 @@ def ngram_jaccard_pairs(
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc 64-bit SimHash (as bigint) — near-dup candidates are pairs
     within small Hamming distance (see :func:`simhash_pairs`)."""
-    return docs.select(
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"), T.simhash64(F.col(text_col)).alias("simhash")
     )
 

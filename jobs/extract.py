@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction pipeline (SURVEY §7.4).
+
+    spark-submit --py-files dist/micro_lab_ocr_spark.zip jobs/extract.py \
+        --docs <parquet/iceberg path> --media <parquet path> \
+        --output <dir> --checkpoint <dir> [--buckets 512] [--resume]
+
+Runs the full interleaved extraction with partition-granular checkpoint /
+lineage; a rerun with --resume skips DONE buckets. On a cluster the same file
+is submitted unchanged — master/cores come from spark-submit, and bucket
+count should be sized ≈ corpus_bytes / (executor_mem / 4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--media", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--snapshot-id", default="unversioned")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip buckets already DONE in the checkpoint table")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from micro_lab_ocr_spark.pipeline.checkpoint import CheckpointedExtraction
+
+    # on a cluster spark-submit provides master/conf; locally fall back
+    spark = SparkSession.builder.appName("micro-lab-ocr-extract").getOrCreate()
+    docs = spark.read.parquet(args.docs)
+    media = spark.read.parquet(args.media)
+
+    ck = CheckpointedExtraction(args.checkpoint, args.output, n_buckets=args.buckets)
+    if not args.resume:
+        for bucket in list(ck.done_buckets()):
+            os.remove(ck._ckpt_path(bucket))
+    results = ck.run(spark, docs, media, snapshot_id=args.snapshot_id)
+    print(json.dumps({
+        "processed_buckets": len(results),
+        "skipped_buckets": args.buckets - len(results),
+        "lineage": ck.lineage(),
+    }, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

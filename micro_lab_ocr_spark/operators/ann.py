@@ -69,35 +69,58 @@ def deterministic_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[li
     return [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def multi_table_buckets(vec, dim: int, n_tables: int, n_planes: int):
+    """(table, bucket) pairs for multi-table sign LSH → array<struct>."""
+    entries = []
+    for t in range(n_tables):
+        planes = deterministic_planes(dim, n_planes, seed=42 + t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_signature(vec, planes).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed cosine top-k: candidates share the full sign pattern.
-    Recall < 1 by construction; at 100 TB this is the path that avoids the
-    full cross product — bucket count 2^n_planes scales the fan-in down."""
-    planes = deterministic_planes(dim, n_planes)
+    """Multi-table LSH cosine top-k: a pair is a candidate when its sign
+    pattern matches in ANY of ``n_tables`` hash tables (the classical
+    recall-boosting construction). At 100 TB this avoids the full cross
+    product — fan-in per query ≈ n_tables · corpus / 2^n_planes."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("cvec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("cvec"), planes))
+    ).select(
+        "corpus_id", "cvec",
+        F.explode(multi_table_buckets(F.col("cvec"), dim, n_tables, n_planes)).alias("tb"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qvec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("qvec"), planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    ).select(
+        "query_id", "qvec",
+        F.explode(multi_table_buckets(F.col("qvec"), dim, n_tables, n_planes)).alias("tb"),
+    )
+    candidates = (
+        c.join(F.broadcast(q), c["tb"] == q["tb"])
         .where(F.col("query_id") != F.col("corpus_id"))
-        .select(
-            "query_id",
-            "corpus_id",
-            F.round(T.cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
-        )
+        .select("query_id", "corpus_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "corpus_id",
+        F.round(T.cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

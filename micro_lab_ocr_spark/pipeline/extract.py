@@ -194,40 +194,55 @@ def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
     )
 
     # Media joins are LEFT joins: spans whose media_ref is missing from the
-    # media table pass through unchanged (visible, not lost).
-    pdf_spans = (
-        spans.where(F.col("kind") == "pdf")
-        .select("doc_id", "offset", "kind", "text", "media_ref")
-        .join(media, "media_ref", "left")
-    )
-    pdf_missing = pdf_spans.where(F.col("content").isNull()).select(
+    # media table pass through unchanged (visible, not lost). When the media
+    # table is empty (text-only corpora) the pdf/image branches reduce to
+    # pure pass-through — skipping their joins/kernels prunes ~8 stages from
+    # the DAG (stage-latency chain is what caps strong scaling).
+    media_is_empty = media.isEmpty()
+
+    pdf_spans = spans.where(F.col("kind") == "pdf").select(
         "doc_id", "offset", "kind", "text", "media_ref"
     )
-    pdf_out = (
-        pdf_spans.where(F.col("content").isNotNull())
-        .select("doc_id", "offset", "media_ref", "content")
-        .mapInPandas(_pdf_layout, SPAN_SCHEMA)
-        .unionByName(pdf_missing)
-    )
+    if media_is_empty:
+        pdf_out = pdf_spans
+    else:
+        pdf_joined = pdf_spans.join(media, "media_ref", "left")
+        pdf_missing = pdf_joined.where(F.col("content").isNull()).select(
+            "doc_id", "offset", "kind", "text", "media_ref"
+        )
+        pdf_out = (
+            pdf_joined.where(F.col("content").isNotNull())
+            .select("doc_id", "offset", "media_ref", "content")
+            .mapInPandas(_pdf_layout, SPAN_SCHEMA)
+            .unionByName(pdf_missing)
+        )
 
     # ---- image branch: OCR → Catalyst grid extraction --------------------
-    image_spans = (
-        spans.where(F.col("kind") == "image")
-        .select("doc_id", "offset", "kind", "text", "media_ref")
-        .join(media, "media_ref", "left")
-    )
-    image_missing = image_spans.where(F.col("content").isNull()).select(
+    image_spans = spans.where(F.col("kind") == "image").select(
         "doc_id", "offset", "kind", "text", "media_ref"
     )
-    grids = (
-        image_spans.where(F.col("content").isNotNull())
-        .select("doc_id", "offset", "media_ref", "content")
-        .mapInPandas(
-            _ocr_grids,
-            "doc_id string, offset int, media_ref string, "
-            "cells array<struct<row:int,col:int,text:string>>",
+    if media_is_empty:
+        image_missing = image_spans
+        grids = None
+    else:
+        image_joined = image_spans.join(media, "media_ref", "left")
+        image_missing = image_joined.where(F.col("content").isNull()).select(
+            "doc_id", "offset", "kind", "text", "media_ref"
         )
-    )
+        grids = (
+            image_joined.where(F.col("content").isNotNull())
+            .select("doc_id", "offset", "media_ref", "content")
+            .mapInPandas(
+                _ocr_grids,
+                "doc_id string, offset int, media_ref string, "
+                "cells array<struct<row:int,col:int,text:string>>",
+            )
+        )
+    if grids is None:
+        image_out = image_missing
+        return _assemble(
+            docs, text_out, html_out, pdf_out, image_out, _table_html_branch(spans), other_out
+        )
     records, pages = grid_extract.extract(grids.select("doc_id", "offset", "cells"))
     page_text = (
         records.alias("r")
@@ -265,7 +280,18 @@ def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
         .unionByName(image_missing)
     )
 
-    # ---- table_html branch: Upstage kernel + W2 date-carry window --------
+    return _assemble(
+        docs, text_out, html_out, pdf_out, image_out, _table_html_branch(spans), other_out
+    )
+
+
+def _table_html_branch(spans: DataFrame) -> DataFrame:
+    """Upstage page kernel + W2 date-carry window.
+
+    W2 — cross-page date carry within a doc: carry the last page that
+    actually parsed a date (`backend.py:256-307`); min-row gate failures
+    (ok=false) neither carry nor consume (`backend.py:235-238`).
+    """
     upstage = (
         spans.where(F.col("kind") == "table_html")
         .select("doc_id", "offset", "text")
@@ -275,9 +301,6 @@ def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
             "d0 string, d7 string, d14 string, d28 string",
         )
     )
-    # W2 — cross-page date carry within a doc: carry the last page that
-    # actually parsed a date (`backend.py:256-307`); min-row gate failures
-    # (ok=false) neither carry nor consume (`backend.py:235-238`).
     w2 = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -285,7 +308,7 @@ def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
         F.col("d0").isNotNull(),
         F.concat_ws(",", "d0", "d7", "d14", "d28"),
     )
-    table_html_out = (
+    return (
         upstage.withColumn("carried", F.last(own_date, ignorenulls=True).over(w2))
         .select(
             "doc_id",
@@ -300,14 +323,13 @@ def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
         )
     )
 
-    # ---- reassembly: per-doc ordered spans with dense offsets ------------
-    all_spans = (
-        text_out.unionByName(html_out)
-        .unionByName(pdf_out)
-        .unionByName(image_out)
-        .unionByName(table_html_out)
-        .unionByName(other_out)
-    )
+
+def _assemble(docs: DataFrame, *branches: DataFrame) -> DataFrame:
+    """Reassembly: per-doc ordered spans with dense offsets; docs with zero
+    spans still appear (empty array, not silently lost)."""
+    all_spans = branches[0]
+    for b in branches[1:]:
+        all_spans = all_spans.unionByName(b)
     assembled = (
         all_spans.groupBy("doc_id")
         .agg(
@@ -328,7 +350,6 @@ def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
             ).alias("spans"),
         )
     )
-    # docs with zero spans must still appear (empty array, not silently lost)
     empty = F.array().cast(
         "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
     )

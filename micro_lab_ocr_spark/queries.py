@@ -654,14 +654,18 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+_LSH_TABLES, _LSH_PLANES = 6, 6
+
+
 def ann_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ann.lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return ann.lsh_topk(emb, queries, dim=64, k=5,
+                        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES)
 
 
-def _planes_sql() -> str:
-    planes = ann.deterministic_planes(64, 8)
+def _table_sig_sql(table: int) -> str:
+    planes = ann.deterministic_planes(64, _LSH_PLANES, seed=42 + table)
     bits = []
     for p in planes:
         dot = " + ".join(f"v[{i+1}] * ({w!r})" for i, w in enumerate(p))
@@ -669,17 +673,32 @@ def _planes_sql() -> str:
     return " || ".join(bits)
 
 
-ANN_LSH_SQL = f"""
+def _ann_lsh_sql() -> str:
+    sig_cols = ", ".join(f"{_table_sig_sql(t)} AS s{t}" for t in range(_LSH_TABLES))
+    tb_list = ", ".join(
+        f"{{'t': {t}, 'b': s{t}}}" for t in range(_LSH_TABLES)
+    )
+    return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sig AS (SELECT vec_id, v, {_planes_sql()} AS bucket FROM base),
-q AS (SELECT vec_id AS query_id, v AS qvec, bucket FROM sig WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS corpus_id, v AS cvec, bucket FROM sig),
+sig AS (SELECT vec_id, v, {sig_cols} FROM base),
+buckets AS (
+  SELECT vec_id, v, tb.t AS t, tb.b AS b
+  FROM sig, UNNEST([{tb_list}]) AS u(tb)
+),
+q AS (SELECT vec_id AS query_id, v AS qvec, t, b FROM buckets WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS corpus_id, v AS cvec, t, b FROM buckets),
+cand AS (
+  SELECT DISTINCT query_id, corpus_id
+  FROM q JOIN c USING (t, b) WHERE query_id != corpus_id
+),
 scored AS (
   SELECT query_id, corpus_id,
-         ROUND(list_dot_product(qvec, cvec)
-               / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 4)
+         ROUND(list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 4)
          AS cosine
-  FROM q JOIN c USING (bucket) WHERE query_id != corpus_id
+  FROM cand
+  JOIN base qv ON qv.vec_id = cand.query_id
+  JOIN base cv ON cv.vec_id = cand.corpus_id
 ),
 ranked AS (
   SELECT query_id, corpus_id, cosine,
@@ -688,6 +707,9 @@ ranked AS (
 )
 SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
 """
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
 
 
 
@@ -1059,14 +1081,30 @@ FROM toks
 # ===========================================================================
 
 
-def flagship_entry(spark, sf_dir):
+def flagship_entry(spark, sf_dir, mult: int | None = None):
     """Build an interleaved (doc_id, spans) corpus from the documents table —
     one text span + one boilerplate-html span + one preservation table_html
     span per doc, all synthesized with JVM-side expressions — and run the full
-    normalize_spans pipeline over it."""
+    normalize_spans pipeline over it.
+
+    ``mult`` (or $SPARK_GRAFT_FLAGSHIP_MULT) replicates each doc with distinct
+    ids — used by the scaling protocol to amortize fixed costs over enough
+    work; the default contract run keeps mult=1.
+    """
+    import os as _os
+
     from micro_lab_ocr_spark.pipeline import extract as px
 
+    if mult is None:
+        mult = int(_os.environ.get("SPARK_GRAFT_FLAGSHIP_MULT", "1"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = load(spark, sf_dir, "documents")
+    if mult > 1:
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        ).withColumn("doc_id", F.col("doc_id") * mult + F.col("rep"))
+    # small files scan into 1-2 splits; spread the kernel work over all cores
+    docs = docs.repartition(n_part, "doc_id")
     k = F.col("doc_id")
     letter = F.chr((k % 12) + 65)
     test = F.concat(

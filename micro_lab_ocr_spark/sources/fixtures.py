@@ -300,8 +300,15 @@ def make_pdf_blocks(rng: random.Random) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_MIX = (0.55, 0.75, 0.90, 0.97)  # cumulative: text|html|table_html|image|pdf
+MEDIA_HEAVY_MIX = (0.15, 0.25, 0.45, 0.90)  # bench mix: OCR-kernel dominated
+
+
 def generate_corpus(
-    n_docs: int = 50, seed: int = 42, skew: bool = True
+    n_docs: int = 50,
+    seed: int = 42,
+    skew: bool = True,
+    mix: tuple[float, float, float, float] = DEFAULT_MIX,
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Returns (docs, media, progress).
 
@@ -323,16 +330,16 @@ def generate_corpus(
         media_n = 0
         for off in range(n_spans):
             r = rng.random()
-            if r < 0.55:
+            if r < mix[0]:
                 spans.append({"kind": "text", "text": _sentence(rng, rng.randint(5, 60)),
                               "media_ref": "", "offset": off})
-            elif r < 0.75:
+            elif r < mix[1]:
                 spans.append({"kind": "html", "text": make_html_page(rng),
                               "media_ref": "", "offset": off})
-            elif r < 0.90:
+            elif r < mix[2]:
                 spans.append({"kind": "table_html", "text": make_table_html(rng),
                               "media_ref": "", "offset": off})
-            elif r < 0.97:
+            elif r < mix[3]:
                 ref = f"m://{doc_id}/{media_n}"
                 media_n += 1
                 grid = make_grid(rng)

@@ -1,0 +1,75 @@
+"""Checkpoint/lineage/resume + skew salting tests (SURVEY §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from micro_lab_ocr_spark.oracle import extract as ox
+from micro_lab_ocr_spark.pipeline.checkpoint import CheckpointedExtraction
+from micro_lab_ocr_spark.sources import fixtures
+
+DOCS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    docs, media, _ = fixtures.generate_corpus(n_docs=20, seed=7)
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame(
+        [(m["media_ref"], bytearray(m["content"])) for m in media],
+        "media_ref string, content binary",
+    )
+    return docs, media, docs_df, media_df
+
+
+def test_checkpoint_resume(spark, small_corpus, tmp_path):
+    docs, media, docs_df, media_df = small_corpus
+    ck = CheckpointedExtraction(str(tmp_path / "ckpt"), str(tmp_path / "out"), n_buckets=4)
+
+    # first run dies at bucket 2 (injected)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ck.run(spark, docs_df, media_df, snapshot_id="snap1", fail_at_bucket=2)
+    done_before = ck.done_buckets()
+    assert done_before == {0, 1}
+
+    # resume: only the remaining buckets run
+    results = ck.run(spark, docs_df, media_df, snapshot_id="snap1")
+    assert sorted(r.bucket for r in results) == [2, 3]
+    assert ck.done_buckets() == {0, 1, 2, 3}
+
+    # lineage rows carry metrics
+    lineage = ck.lineage()
+    assert len(lineage) == 4
+    assert all(row["status"] == "DONE" and row["snapshot_id"] == "snap1" for row in lineage)
+    assert sum(row["n_docs"] for row in lineage) == len(docs)
+
+    # the union of bucket outputs equals the oracle over all docs
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in out.collect()}
+    media_map = {m["media_ref"]: m["content"] for m in media}
+    assert set(got) == {d["doc_id"] for d in docs}
+    for d in docs:
+        assert got[d["doc_id"]] == ox.normalize_document(d["doc_id"], d["spans"], media_map)
+
+
+def test_salting_marks_heavy_docs(spark):
+    from micro_lab_ocr_spark.operators.salting import salt_spans
+
+    rows = [("heavy", i) for i in range(50)] + [("light", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id string, offset int")
+    salted = salt_spans(df, heavy_threshold=10, salt_buckets=4)
+    out = salted.groupBy("doc_id").agg(F.countDistinct("salt").alias("n_salts")).collect()
+    by_doc = {r["doc_id"]: r["n_salts"] for r in out}
+    assert by_doc["heavy"] == 4      # spread over all salt buckets
+    assert by_doc["light"] == 1      # untouched
+    # reassembly-by-offset invariant: salts never permute content order
+    heavy = salted.where(F.col("doc_id") == "heavy").orderBy("offset").collect()
+    assert [r["offset"] for r in heavy] == list(range(50))

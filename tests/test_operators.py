@@ -1,0 +1,91 @@
+"""Operator-level tests: dedup recall on planted near-dups, SimHash pairing,
+enrichment join semantics, ANN recall of the LSH path vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from micro_lab_ocr_spark.operators import ann, dedup, enrich
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    import random
+
+    rng = random.Random(5)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(200):
+        text = " ".join(rng.choice(words) for _ in range(80))
+        rows.append((i, text))
+        if i % 10 == 0:
+            # near-dup: drop the last 10%
+            rows.append((i + 10000, " ".join(text.split()[:72])))
+        if i % 25 == 0:
+            rows.append((i + 20000, text))  # exact dup
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_dedup_exact_finds_planted(doc_df):
+    groups = dedup.dedup_exact(doc_df).collect()
+    keepers = {r["keeper_id"] for r in groups}
+    assert keepers == {i for i in range(0, 200, 25)}
+    assert all(r["n_docs"] == 2 for r in groups)
+
+
+def test_minhash_lsh_recall(doc_df):
+    pairs = dedup.minhash_lsh_pairs(doc_df, jaccard_threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # all planted near-dup pairs (90% prefix) must be found
+    expected_near = {(i, i + 10000) for i in range(0, 200, 10)}
+    expected_exact = {(i, i + 20000) for i in range(0, 200, 25)}
+    missing = (expected_near | expected_exact) - found
+    assert not missing, f"missed planted pairs: {sorted(missing)[:5]}"
+
+
+def test_simhash_pairs_find_exact_dups(doc_df):
+    pairs = dedup.simhash_pairs(doc_df, max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected_exact = {(i, i + 20000) for i in range(0, 200, 25)}
+    assert expected_exact <= found
+    # exact dups have identical simhash → hamming 0
+    zero = {(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0}
+    assert expected_exact <= zero
+
+
+def test_enrich_join_fills_empty(spark):
+    records = spark.createDataFrame(
+        [("GB1-A", "25E15I14"), ("NOPE-X", "25E15I15")],
+        "prescription_number string, test_number string",
+    )
+    progress = spark.createDataFrame(
+        [("GB1-A", "크림", "O/W", "1팀", "글리세린 5%")],
+        "prescription_number string, product_name string, formulation string, "
+        "team string, preservative_info string",
+    )
+    out = {r["prescription_number"]: r for r in enrich.enrich_records(records, progress).collect()}
+    assert out["GB1-A"]["product_name"] == "크림"
+    assert out["NOPE-X"]["product_name"] == ""      # miss → '' not null
+    assert out["NOPE-X"]["preservative_info"] == ""
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    brute = ann.brute_force_topk(emb, queries, k=5)
+    lsh = ann.lsh_topk(emb, queries, dim=16, k=5, n_planes=4, n_tables=8)
+    b = {(r["query_id"], r["corpus_id"]) for r in brute.collect()}
+    l = {(r["query_id"], r["corpus_id"]) for r in lsh.collect()}
+    # LSH returns a subset quality-wise; require ≥40% recall of true top-5
+    recall = len(b & l) / len(b)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # brute force: every query has exactly 5 ranked neighbors
+    per_q = {}
+    for r in brute.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

@@ -1151,6 +1151,128 @@ def flagship_entry(spark, sf_dir, mult: int | None = None):
     return px.normalize_spans(interleaved, media)
 
 
+
+
+
+# ===========================================================================
+# F12/F13/J2 — strain normalize, judgment decode, positional pair match
+# ===========================================================================
+
+_STRAIN_INPUTS = [
+    "E.coli", "Escherichia coli", "E. coli", "escherichia", "Pseudomonas aeruginosa",
+    "Pseudomonas", "S.aureus", "Staphylococcus aureus", "Candida albicans", "Candida",
+    "A.brasiliensis", "Aspergillus", "unknown bug", "E.COLI", "c. albicans",
+]
+
+
+def f12_strain_normalize(spark, sf_dir):
+    """F12 — synonym-map normalize, Azure (''-on-miss) and Upstage
+    (passthrough) variants side by side."""
+    orders = load(spark, sf_dir, "orders")
+    v = F.element_at(F.lit(_STRAIN_INPUTS), (F.col("o_orderkey") % len(_STRAIN_INPUTS)).cast("int") + 1)
+    return orders.select(
+        F.col("o_orderkey").alias("key"),
+        v.alias("raw"),
+        C.normalize_strain(v).alias("strain_azure"),
+        C.normalize_strain(v, passthrough=True).alias("strain_upstage"),
+    )
+
+
+def _f12_sql() -> str:
+    lits = ", ".join(_q(s) for s in _STRAIN_INPUTS)
+    whens = "\n".join(
+        f"WHEN contains(lower(raw), {_q(syn.lower())}) THEN {_q(canon)}"
+        for syn, canon in banks.STRAIN_SYNONYMS
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS key,
+         ([{lits}])[CAST(o_orderkey % {len(_STRAIN_INPUTS)} AS INT) + 1] AS raw
+  FROM orders
+)
+SELECT key, raw,
+       CASE {whens} ELSE '' END AS strain_azure,
+       CASE {whens} ELSE raw END AS strain_upstage
+FROM base
+"""
+
+
+_JUDGMENT_INPUTS = ["", "0", "X", "×", "V", "v", "0 :selected:", "부적합", "적합", "ok", "x"]
+
+
+def f13_judgment(spark, sf_dir):
+    """F13 — judgment decode (Azure variant: upper-cased scan incl. 부적합)."""
+    orders = load(spark, sf_dir, "orders")
+    v = F.element_at(F.lit(_JUDGMENT_INPUTS), (F.col("o_orderkey") % len(_JUDGMENT_INPUTS)).cast("int") + 1)
+    return orders.select(
+        F.col("o_orderkey").alias("key"), v.alias("raw"), C.extract_judgment(v).alias("judgment")
+    )
+
+
+def _f13_sql() -> str:
+    lits = ", ".join(_q(s) for s in _JUDGMENT_INPUTS)
+    fail = " OR ".join(
+        [f"contains(upper(trim(raw)), {_q(c)})" for c in banks.JUDGMENT_FAIL_CHARS]
+        + [f"contains(upper(trim(raw)), '부적합')"]
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS key,
+         ([{lits}])[CAST(o_orderkey % {len(_JUDGMENT_INPUTS)} AS INT) + 1] AS raw
+  FROM orders
+)
+SELECT key, raw,
+       CASE WHEN raw IS NULL OR raw = '' THEN '적합'
+            WHEN {fail} THEN '부적합' ELSE '적합' END AS judgment
+FROM base
+"""
+
+
+def j2_pair_match(spark, sf_dir):
+    """J2 — positional zip of two variable-length ID lists with one-sided
+    surplus (`backend.py:584-625`): pure array algebra, no shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n_tests = (k % 3 + 1).cast("int")
+    n_prescs = (k % 4).cast("int")
+    tests = F.transform(
+        F.sequence(F.lit(1), n_tests), lambda i: F.concat(F.lit("T"), (k + i).cast("string"))
+    )
+    prescs = F.transform(
+        F.sequence(F.lit(1), n_prescs), lambda i: F.concat(F.lit("P"), (k + i).cast("string"))
+    )
+    prescs = F.when(n_prescs > 0, prescs).otherwise(F.array().cast("array<string>"))
+    pairs = F.zip_with(tests, prescs, lambda t, p: F.concat_ws(":", F.coalesce(t, F.lit("-")),
+                                                               F.coalesce(p, F.lit("-"))))
+    return orders.select(
+        k.alias("key"), F.concat_ws(",", pairs).alias("pairs")
+    )
+
+
+J2_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS key,
+         CAST(o_orderkey % 3 + 1 AS INT) AS n_t,
+         CAST(o_orderkey % 4 AS INT) AS n_p
+  FROM orders
+),
+lists AS (
+  SELECT key,
+         list_transform(range(1, n_t + 1), i -> 'T' || CAST(key + i AS VARCHAR)) AS tests,
+         CASE WHEN n_p > 0
+              THEN list_transform(range(1, n_p + 1), i -> 'P' || CAST(key + i AS VARCHAR))
+              ELSE [] END AS prescs
+  FROM base
+)
+SELECT key,
+       array_to_string(
+         list_transform(range(1, greatest(len(tests), len(prescs)) + 1),
+           i -> coalesce(tests[i], '-') || ':' || coalesce(prescs[i], '-')),
+         ',') AS pairs
+FROM lists
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1183,6 +1305,9 @@ REGISTRY: dict[str, tuple] = {
     "f3_id_extraction": (f3_id_extraction, None),
     "f17_date_ladder": (f17_date_ladder, F17_SQL),
     "f15_consecutive_dates": (f15_consecutive_dates, F15_SQL),
+    "f12_strain_normalize": (f12_strain_normalize, None),
+    "f13_judgment": (f13_judgment, None),
+    "j2_pair_match": (j2_pair_match, J2_SQL),
 }
 
 
@@ -1198,4 +1323,6 @@ def oracle_sql_dict():
     out["f6_f7_clean_chain"] = _f6_sql()
     out["f20_log_convert"] = _f20_sql()
     out["f3_id_extraction"] = _f3_sql()
+    out["f12_strain_normalize"] = _f12_sql()
+    out["f13_judgment"] = _f13_sql()
     return out

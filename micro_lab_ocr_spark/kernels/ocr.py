@@ -270,6 +270,34 @@ def _decode_glyph(seg: np.ndarray) -> str:
     return ALPHABET[int(np.argmin(dists))]
 
 
+_EXACT_GLYPHS = {g.tobytes(): ch for ch, g in _GLYPHS.items()}
+
+
+def _decode_glyphs_batch(band: np.ndarray, runs: list[tuple[int, int]]) -> list[str]:
+    """Greedy best-path decode of every glyph run on one line: exact-match
+    hash lookup fast path (distance-0 shortcut), batched min-Hamming only for
+    degraded segments."""
+    n = len(runs)
+    if n == 0:
+        return []
+    regular = all((x1 - x0) == GLYPH_W for x0, x1 in runs) and band.shape[0] == GLYPH_ROWS
+    if regular:
+        segs = np.ascontiguousarray(np.stack([band[:, x0:x0 + GLYPH_W] for x0, _ in runs]))
+    else:  # degraded rasters: pad per segment (rare path)
+        segs = np.zeros((n, GLYPH_ROWS, GLYPH_W), dtype=np.uint8)
+        for i, (x0, x1) in enumerate(runs):
+            seg = band[:GLYPH_ROWS, x0:min(x1, x0 + GLYPH_W)]
+            segs[i, : seg.shape[0], : seg.shape[1]] = seg
+    out: list[str | None] = [_EXACT_GLYPHS.get(segs[i].tobytes()) for i in range(n)]
+    misses = [i for i, ch in enumerate(out) if ch is None]
+    if misses:
+        flat = segs[misses].reshape(len(misses), -1)
+        dists = (flat[:, None, :] != _GLYPH_STACK[None, :, :]).sum(axis=2)
+        for j, i in enumerate(misses):
+            out[i] = ALPHABET[int(dists[j].argmin())]
+    return out  # type: ignore[return-value]
+
+
 def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
     """Contiguous True runs of a 1-D boolean mask → [(start, end)), …]."""
     idx = np.flatnonzero(np.diff(np.concatenate(([0], mask.view(np.int8), [0]))))
@@ -315,10 +343,11 @@ def decode_image(data: bytes) -> list[tuple[int, int, str]]:
     for row_idx, (y0, y1) in enumerate(_runs(img.any(axis=1))):
         band = img[y0:y1]
         col_runs = _runs(band.any(axis=0))
+        glyphs = _decode_glyphs_batch(band, col_runs)
         cur: list[str] = []
         cur_col: int | None = None
         prev_end: int | None = None
-        for x0, x1 in col_runs:
+        for (x0, x1), glyph in zip(col_runs, glyphs):
             col = col_of(x0)
             if cur_col is not None and col != cur_col:
                 cells.append((row_idx, cur_col, "".join(cur)))
@@ -329,7 +358,7 @@ def decode_image(data: bytes) -> list[tuple[int, int, str]]:
                 if gap >= SPACE_ADV - 2:
                     cur.append(" " * round((gap - CHAR_GAP) / SPACE_ADV))
             cur_col = col
-            cur.append(_decode_glyph(band[:, x0:x1]))
+            cur.append(glyph)
             prev_end = x1
         if cur and cur_col is not None:
             cells.append((row_idx, cur_col, "".join(cur)))

@@ -162,9 +162,14 @@ def _with_dates(dates_line: Column, lines: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
+def normalize_spans(
+    docs: DataFrame, media: DataFrame, salt_buckets: int = 0
+) -> DataFrame:
     """docs(doc_id, spans:array<struct<kind,text,media_ref,offset>>) +
-    media(media_ref, content:binary) → (doc_id, spans) normalized."""
+    media(media_ref, content:binary) → (doc_id, spans) normalized.
+
+    ``salt_buckets``: >0 enables skew-salted reassembly for heavy-tailed docs
+    (see _assemble)."""
     spans = docs.select(
         "doc_id",
         F.explode("spans").alias("s"),
@@ -241,7 +246,8 @@ def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
     if grids is None:
         image_out = image_missing
         return _assemble(
-            docs, text_out, html_out, pdf_out, image_out, _table_html_branch(spans), other_out
+            docs, text_out, html_out, pdf_out, image_out, _table_html_branch(spans),
+            other_out, salt_buckets=salt_buckets,
         )
     records, pages = grid_extract.extract(grids.select("doc_id", "offset", "cells"))
     page_text = (
@@ -281,7 +287,8 @@ def normalize_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
     )
 
     return _assemble(
-        docs, text_out, html_out, pdf_out, image_out, _table_html_branch(spans), other_out
+        docs, text_out, html_out, pdf_out, image_out, _table_html_branch(spans),
+        other_out, salt_buckets=salt_buckets,
     )
 
 
@@ -324,19 +331,42 @@ def _table_html_branch(spans: DataFrame) -> DataFrame:
     )
 
 
-def _assemble(docs: DataFrame, *branches: DataFrame) -> DataFrame:
+def _assemble(
+    docs: DataFrame, *branches: DataFrame, salt_buckets: int = 0
+) -> DataFrame:
     """Reassembly: per-doc ordered spans with dense offsets; docs with zero
-    spans still appear (empty array, not silently lost)."""
+    spans still appear (empty array, not silently lost).
+
+    ``salt_buckets > 0`` enables skew salting for heavy-tailed docs (SURVEY
+    §4.2): spans first aggregate per (doc_id, pmod(offset, K)) — a mega-doc's
+    collect spreads over K tasks — then the K partial lists merge and the
+    final array_sort on (offset) restores content order, so determinism never
+    depends on task order (SURVEY §7.3 risk 4).
+    """
     all_spans = branches[0]
     for b in branches[1:]:
         all_spans = all_spans.unionByName(b)
-    assembled = (
-        all_spans.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-            ).alias("ordered")
+    if salt_buckets > 0:
+        partial = (
+            all_spans.withColumn("salt", F.pmod("offset", F.lit(salt_buckets)))
+            .groupBy("doc_id", "salt")
+            .agg(F.collect_list(F.struct("offset", "kind", "text", "media_ref")).alias("part"))
         )
+        assembled = (
+            partial.groupBy("doc_id")
+            .agg(F.array_sort(F.flatten(F.collect_list("part"))).alias("ordered"))
+        )
+    else:
+        assembled = (
+            all_spans.groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+                ).alias("ordered")
+            )
+        )
+    assembled = (
+        assembled
         .select(
             "doc_id",
             F.transform(

@@ -73,3 +73,16 @@ def test_salting_marks_heavy_docs(spark):
     # reassembly-by-offset invariant: salts never permute content order
     heavy = salted.where(F.col("doc_id") == "heavy").orderBy("offset").collect()
     assert [r["offset"] for r in heavy] == list(range(50))
+
+
+def test_salted_reassembly_matches_oracle(spark, small_corpus):
+    """normalize_spans with skew-salted reassembly must produce byte-identical
+    span sequences (content-order sort, never task order)."""
+    from micro_lab_ocr_spark.pipeline.extract import normalize_spans
+
+    docs, media, docs_df, media_df = small_corpus
+    out = normalize_spans(docs_df, media_df, salt_buckets=8).collect()
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in out}
+    media_map = {m["media_ref"]: m["content"] for m in media}
+    for d in docs:
+        assert got[d["doc_id"]] == ox.normalize_document(d["doc_id"], d["spans"], media_map)

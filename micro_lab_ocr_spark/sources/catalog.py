@@ -1,0 +1,71 @@
+"""Table-format adapter: Iceberg when available, bucketed parquet otherwise.
+
+The north rule targets Iceberg tables bucketed on doc_id (`PARTITIONED BY
+(bucket(N, doc_id))`) so the pipeline's doc-keyed windows and the final
+reassembly ride storage partitioning (Spark SPJ) with no shuffle. This
+container ships no Iceberg runtime jar, so the adapter:
+
+* emits the exact DDL + writer calls used on a real cluster (kept here so the
+  job is copy-paste deployable), and
+* falls back to directory-bucketed parquet locally — same bucket function
+  (``pmod(xxhash64(doc_id), n)``) the checkpoint module uses, so resume
+  granularity and join co-location semantics match what Iceberg would give.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ICEBERG_DOCS_DDL = """
+CREATE TABLE IF NOT EXISTS {catalog}.{db}.documents_interleaved (
+  doc_id string,
+  spans  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+) USING iceberg
+PARTITIONED BY (bucket({n_buckets}, doc_id))
+TBLPROPERTIES (
+  'write.distribution-mode' = 'hash',
+  'read.split.target-size'  = '134217728'
+)
+"""
+
+ICEBERG_WRITE = "df.writeTo('{catalog}.{db}.documents_interleaved').append()"
+# storage-partitioned joins/aggregations (no shuffle over the bucket key):
+ICEBERG_SPJ_CONFS = {
+    "spark.sql.sources.v2.bucketing.enabled": "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled": "true",
+    "spark.sql.iceberg.planning.preserve-data-grouping": "true",
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
+}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_docs(spark: SparkSession, df: DataFrame, path_or_table: str, n_buckets: int = 64) -> None:
+    """Write the interleaved docs table with doc_id bucketing."""
+    if iceberg_available(spark):
+        spark.sql(
+            ICEBERG_DOCS_DDL.format(catalog="spark_catalog", db="default", n_buckets=n_buckets)
+        )
+        df.writeTo(path_or_table).append()
+        return
+    # parquet fallback: directory bucketing by the same hash
+    (
+        df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path_or_table)
+    )
+
+
+def read_docs(spark: SparkSession, path_or_table: str) -> DataFrame:
+    if path_or_table.startswith(("spark_catalog.", "iceberg.")):
+        return spark.read.table(path_or_table)
+    df = spark.read.parquet(path_or_table)
+    return df.drop("bucket") if "bucket" in df.columns else df

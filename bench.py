@@ -95,7 +95,7 @@ def run_suite(parallelism: int, sf_dir: str, include_queries: bool = True) -> di
 CORPUS_DIR = os.path.join(REPO, ".bench_corpus")
 
 
-def _ensure_media_corpus(n_docs: int = 12000) -> str:
+def _ensure_media_corpus(n_docs: int = 36000) -> str:
     """Materialize the media-heavy interleaved fixture corpus as parquet once
     — the scaling job reads it like any production input. The media-heavy mix
     makes the OCR/table kernels (the north-star workload) dominate wall time

@@ -33,6 +33,7 @@ CFU_CORPUS = (
         "CIO2", "CI02", "cis2,", "CIS2,", "si02", "40°", "40€", "<1.2",
         "512", "510", "90", "410", "4102 ", " 40 ", "Multi <10 < 10\"",
         "행", "균주", "5.5×10^5 6.6×10^6",
+        'CIÒ"', "<6.1 × 100 x", "8.7X105", "5.1×105", "(10", "C102",
     ]
 )
 
@@ -116,6 +117,17 @@ LOG_KNOWN_ANSWERS = [
     ('< 10"', "7", "<10"),
     ("4102", "7", "<10^2"),
     (":selected:", "7", ""),
+    # harvested from logs/*.log correction lines (day context inferred)
+    ('CIÒ"', "7", "<10^2"),
+    ("<6.1 × 100 x", "0", "<6.1×10^0"),
+    ("410", "7", "<10^2"),
+    ("410", "14", "<10"),
+    ("510", "14", "<10"),
+    ("(10", "14", "<10"),
+    ("C102", "7", "<10^2"),
+    ("8.7X105", "0", "8.7×10^5"),
+    ("40€", "7", "<10^2"),
+    ("5.1×105", "0", "5.1×10^5"),
 ]
 
 

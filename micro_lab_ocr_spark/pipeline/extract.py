@@ -272,8 +272,12 @@ def normalize_spans(
             ).alias("lines"),
         )
     )
+    # join from the PRE-kernel span rows, not `grids` — joining grids here
+    # would evaluate the OCR kernel a second time (it isn't needed: only the
+    # span identity is, and pages/page_text carry the decoded results)
     image_out = (
-        grids.select("doc_id", "offset", "media_ref")
+        image_joined.where(F.col("content").isNotNull())
+        .select("doc_id", "offset", "media_ref")
         .join(pages.select("doc_id", "offset", "date_info"), ["doc_id", "offset"], "left")
         .join(page_text, ["doc_id", "offset"], "left")
         .select(

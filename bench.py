@@ -120,8 +120,8 @@ def _ensure_media_corpus(n_docs: int = 36000) -> str:
         [(m["media_ref"], bytearray(m["content"])) for m in media],
         "media_ref string, content binary",
     )
-    docs_df.repartition(16).write.mode("overwrite").parquet(f"{CORPUS_DIR}/docs.parquet")
-    media_df.repartition(16).write.mode("overwrite").parquet(f"{CORPUS_DIR}/media.parquet")
+    docs_df.repartition(64).write.mode("overwrite").parquet(f"{CORPUS_DIR}/docs.parquet")
+    media_df.repartition(64).write.mode("overwrite").parquet(f"{CORPUS_DIR}/media.parquet")
     spark.stop()
     open(marker, "w").write("ok")
     return CORPUS_DIR

@@ -110,6 +110,42 @@ def multi_table_buckets(vec, dim: int, n_tables: int, n_planes: int):
     return F.array(*entries)
 
 
+def _signatures_np(df: DataFrame, id_out: str, dim: int, n_tables: int, n_planes: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(id, table, bucket) rows via one numpy matmul over all tables' planes
+    — the Catalyst expression form (n_tables·n_planes·dim terms) blows past
+    Janino's 64 KB method limit and falls back to slow interpreted eval."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        planes = np.array(
+            [p for t in range(n_tables) for p in deterministic_planes(dim, n_planes, seed=42 + t)],
+            dtype=np.float64,
+        ).T  # dim × (n_tables·n_planes)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            signs = (v @ planes) >= 0  # n × (n_tables·n_planes)
+            ids, tables, buckets = [], [], []
+            chars = np.where(signs, "1", "0")
+            for t in range(n_tables):
+                block = chars[:, t * n_planes:(t + 1) * n_planes]
+                keys = ["".join(row) for row in block]
+                ids.extend(pdf["id"].tolist())
+                tables.extend([t] * len(pdf))
+                buckets.extend(keys)
+            yield pd.DataFrame({"id": ids, "table": tables, "bucket": buckets})
+
+    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"))
+    out = base.mapInPandas(kernel, "id long, table int, bucket string")
+    return out.select(F.col("id").alias(id_out), "table", "bucket")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -124,25 +160,12 @@ def lsh_topk(
     pattern matches in ANY of ``n_tables`` hash tables (the classical
     recall-boosting construction). At 100 TB this avoids the full cross
     product — fan-in per query ≈ n_tables · corpus / 2^n_planes."""
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
-    ).select(
-        "corpus_id", "cvec",
-        F.explode(multi_table_buckets(F.col("cvec"), dim, n_tables, n_planes)).alias("tb"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
-    ).select(
-        "query_id", "qvec",
-        F.explode(multi_table_buckets(F.col("qvec"), dim, n_tables, n_planes)).alias("tb"),
-    )
+    c = _signatures_np(corpus, "corpus_id", dim, n_tables, n_planes, id_col, vec_col)
+    q = _signatures_np(queries, "query_id", dim, n_tables, n_planes, id_col, vec_col)
     # dedup candidates as bare id pairs FIRST (don't shuffle vectors through
     # the distinct), then re-attach vectors and score with the numpy kernel
     candidates = (
-        c.select("corpus_id", "tb")
-        .join(F.broadcast(q.select("query_id", "tb")), "tb")
+        c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id")
         .dropDuplicates(["query_id", "corpus_id"])

@@ -258,11 +258,14 @@ def w4_running_count(spark, sf_dir):
 
 W4_SQL = """
 SELECT event_id, user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clicks_so_far
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS clicks_so_far
 FROM events
 """
+# NB the BIGINT cast: DuckDB's SUM over integers yields HUGEINT, which lands
+# in pandas as float64 and breaks the driver's dtype-sensitive value hash
+# even when every value matches Spark's int64 (round-1 CORRECTNESS red cell).
 
 
 def w6_lag_blank(spark, sf_dir):

@@ -29,38 +29,40 @@ def ddb():
 
 
 def _norm_cell(v) -> str:
+    """Dtype-STRICT normalization mirroring the driver's hash: both engines
+    go through pandas, and an int64 column on one side vs a float64 on the
+    other (e.g. DuckDB HUGEINT→float64) must MISMATCH here exactly like it
+    does at the driver gate (round-1 `w4_running_count` lesson)."""
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        return "f:" + repr(round(float(v), 9))
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
     return str(v)
 
 
-def _normalize(cols, rows):
+def _normalize(pdf):
+    cols = list(pdf.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = pdf.itertuples(index=False, name=None)
     out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
     return [cols[i] for i in order], out
 
 
 @pytest.mark.parametrize("name", sorted(Q.queries_dict()))
 def test_query_matches_oracle(spark, ddb, name):
-    sdf = Q.queries_dict()[name](spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+    spdf = Q.queries_dict()[name](spark, SF_DIR).toPandas()
+    dpdf = ddb.execute(Q.oracle_sql_dict()[name]).fetch_df()
 
-    sql = Q.oracle_sql_dict()[name]
-    cur = ddb.execute(sql)
-    dcols = [d[0] for d in cur.description]
-    drows = cur.fetchall()
-
-    s_cols, s_norm = _normalize(scols, srows)
-    d_cols, d_norm = _normalize(dcols, drows)
+    s_cols, s_norm = _normalize(spdf)
+    d_cols, d_norm = _normalize(dpdf)
     assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"
     assert len(s_norm) == len(d_norm), f"{name}: rows {len(s_norm)} != {len(d_norm)}"
     mism = [(a, b) for a, b in zip(s_norm, d_norm) if a != b][:3]

@@ -1,22 +1,31 @@
 """Deduplication operators for training-data pipelines (task brief §extras).
 
-All pure Catalyst; hash primitives are portable md5 (see functions.text) so
-the DuckDB oracle reproduces them exactly.
+Hash primitives are portable md5 (see functions.text) so the DuckDB oracle
+reproduces them exactly; the SimHash/MinHash signatures run in numpy
+mapInPandas kernels (kernels.texthash) with the SAME definitions — the
+Catalyst expression forms evaluate interpreted and were round-1's two
+slowest bench queries.
 
 Scale notes (100 TB):
 * exact dedup — one hash-shuffle on the 32-hex fingerprint; map-side partial
   aggregation keeps the shuffle tiny.
-* MinHash/LSH — per-doc signature is a narrow map-side computation; the only
-  shuffle is the band-bucket self-join, whose fan-out is bounded by bucket
-  size (skewed buckets are AQE-split; a bucket-size cap guards stop-words).
-* SimHash — signature is map-side; pairing joins on the 16-hex prefix bucket.
+* MinHash/LSH — per-doc signature is a narrow map-side kernel; bucket sizes
+  are counted on a (bucket)-only projection and oversized keys anti-joined
+  away BEFORE any shingle array enters a shuffle (stop-shingle storms);
+  the only wide shuffle is the band-bucket self-join, AQE-skew-splittable.
+* SimHash — signature is map-side; pairing joins on the 16-bit chunk bucket.
+* n-gram Jaccard — equi-join on a log-scale length-bucket blocking key (hash
+  join, not a nested-loop theta join), exact length band as a post-filter.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from micro_lab_ocr_spark.functions import text as T
+from micro_lab_ocr_spark.kernels import texthash as TH
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -42,55 +51,77 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH, verified with
     exact shingle-set Jaccard.
 
-    shingle → minhash → band → bucket self-join → exact-jaccard filter.
-    ``max_bucket`` drops degenerate buckets (stop-shingle storms) — the
-    documented trade-off every web-scale dedup makes; dropped buckets are
-    counted, not silent (exposed via the ``oversize_buckets`` accumulator
-    column when requested).
+    shingle → minhash (numpy kernel) → band → bucket self-join →
+    exact-jaccard filter. ``max_bucket`` drops degenerate buckets
+    (stop-shingle storms) — the documented trade-off every web-scale dedup
+    makes; dropped buckets are counted, not silent: pass ``stats={}`` to get
+    ``stats['oversize_buckets']`` (number of dropped bucket keys; requires
+    one extra action on the tiny bucket-count aggregate).
+
+    Shape matters at 100 TB (mirrors ann.lsh_topk): the signature kernel
+    emits only (id, band-bucket keys) — the shingle arrays, the dominant
+    bytes, never enter a shuffle. Bucket sizes are counted over a
+    (bucket)-only projection, oversized keys (a tiny set) broadcast
+    anti-join the exploded rows, the self-join produces BARE id pairs which
+    dedupe before anything wide re-attaches, and exact-Jaccard verification
+    re-derives shingle overlaps for candidate pairs only (texts re-attached
+    via two scan-side broadcast hash joins). The tiny (id, bucket) frame is
+    persisted because three consumers branch from it; on a real cluster that
+    materialization is a checkpoint-table write.
     """
-    rows_per_band = num_hashes // bands
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    base = (
-        docs.repartition(n_part, F.col(id_col))  # small scans → few splits;
-        # spread the CPU-heavy shingling across all cores
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(T.word_shingles(F.col(text_col), shingle_k)).alias("shingles"),
+    idtype = docs.schema[id_col].dataType.simpleString()
+    # NB no pre-kernel repartition: the signature kernel is a map-side pass
+    # (≈80 µs/doc) that rides the scan partitions — at 100 TB the scan has
+    # thousands of splits and shuffling the raw text first would be pure
+    # waste (round 1 repartitioned here because the interpreted-HOF
+    # signatures were CPU-bound; the numpy kernel removed that).
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ex = (
+        base.mapInPandas(
+            TH.make_minhash_kernel(shingle_k, num_hashes, bands),
+            f"id {idtype}, buckets array<string>",
         )
-        .where(F.size("shingles") > 0)
+        .select("id", F.explode("buckets").alias("bucket"))
+        .persist()
     )
-    sigs = base.select(
-        "id",
-        "shingles",
-        T.lsh_bands(T.minhash_signature(F.col("shingles"), num_hashes), bands, rows_per_band).alias(
-            "bands"
-        ),
-    )
-    buckets = sigs.select("id", "shingles", F.explode("bands").alias("b")).select(
-        "id", "shingles", F.col("b.key").alias("bucket")
-    )
-    # guard degenerate buckets
-    sized = buckets.withColumn(
-        "bucket_n", F.count("*").over(__import__("pyspark").sql.Window.partitionBy("bucket"))
-    ).where(F.col("bucket_n") <= max_bucket)
-    a = sized.alias("a")
-    b = sized.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            T.jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+    sizes = ex.select("bucket").groupBy("bucket").agg(F.count("*").alias("n"))
+    oversized = sizes.where(F.col("n") > max_bucket).select("bucket")
+    if stats is not None:
+        stats["oversize_buckets"] = oversized.count()
+    ok = ex.join(F.broadcast(oversized), "bucket", "left_anti")
+    cand = (
+        ok.alias("a")
+        .join(
+            ok.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("jaccard", F.round("jaccard", 4))
+    )
+    # verify: broadcast the bare candidate pairs back onto the doc texts (two
+    # scan-side hash joins, no corpus shuffle), set-overlap sizes in one
+    # kernel, jaccard division + rounding in Catalyst (SQL-oracle parity)
+    slim = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    a_txt = slim.select(F.col("id").alias("id_a"), F.col("text").alias("text_a")).join(
+        F.broadcast(cand), "id_a"
+    )
+    withtexts = slim.select(F.col("id").alias("id_b"), F.col("text").alias("text_b")).join(
+        F.broadcast(a_txt), "id_b"
+    )
+    overlaps = withtexts.select("id_a", "id_b", "text_a", "text_b").mapInPandas(
+        TH.make_pair_overlap_kernel(shingle_k),
+        f"id_a {idtype}, id_b {idtype}, inter long, un long",
+    )
+    jac = F.when(F.col("un") == 0, F.lit(0.0)).otherwise(F.col("inter") / F.col("un"))
+    return (
+        overlaps.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -103,11 +134,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs with length banding.
 
-    Brute-force within length bands (|len_a - len_b| ≤ band·len) — the exact
-    baseline against which LSH recall is judged. O(n²) within band; intended
-    for verification scale, with the banded join keeping candidate count sane.
+    The exact baseline against which LSH recall is judged. The length-band
+    theta predicate (|len_a − len_b| ≤ band·len_a) would plan as a
+    BroadcastNestedLoopJoin (O(n²) pair evaluation); instead each doc gets a
+    log-scale length block ``floor(ln len / ln(1+band))`` and the a-side is
+    replicated to the 4 block offsets (−2…+1) that can contain a qualifying
+    partner — proof: len_b ∈ [(1−band)·len_a, (1+band)·len_a] maps to blocks
+    within [blk_a−2, blk_a+1] for band=0.2. The join is then a plain equi
+    hash join on the block key with the exact predicate as a post-filter —
+    the result set is IDENTICAL to the brute form (blocking is a superset),
+    so the DuckDB oracle keeps the simple theta formulation.
     """
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    log_base = math.log(1.0 + length_band)
     base = (
         docs.repartition(n_part, F.col(id_col))
         .select(
@@ -116,13 +155,26 @@ def ngram_jaccard_pairs(
             F.length(T.normalize_text(F.col(text_col))).alias("len"),
         )
         .where(F.size("grams") > 0)
+        .withColumn(
+            "blk", F.floor(F.log(F.col("len").cast("double")) / F.lit(log_base)).cast("int")
+        )
     )
-    a, b = base.alias("a"), base.alias("b")
+    a = base.withColumn(
+        "blk_probe", F.explode(F.array(*[F.col("blk") + o for o in (-2, -1, 0, 1)]))
+    ).alias("a")
+    b = base.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.id") < F.col("b.id"))
+            (F.col("a.blk_probe") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id"))
             & (F.abs(F.col("a.len") - F.col("b.len")) <= F.col("a.len") * length_band),
+        )
+        # necessary condition J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) prunes pairs
+        # BEFORE the expensive array_intersect (cheap int compare per pair)
+        .where(
+            F.least(F.size("a.grams"), F.size("b.grams"))
+            >= F.lit(threshold) * F.greatest(F.size("a.grams"), F.size("b.grams"))
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -135,10 +187,15 @@ def ngram_jaccard_pairs(
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc 64-bit SimHash (as bigint) — near-dup candidates are pairs
-    within small Hamming distance (see :func:`simhash_pairs`)."""
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return docs.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("id"), T.simhash64(F.col(text_col)).alias("simhash")
+    within small Hamming distance (see :func:`simhash_pairs`).
+
+    Runs the numpy kernel (kernels.texthash.simhash_kernel); bit-identical to
+    the Catalyst ``functions.text.simhash64`` definition (parity-tested) and
+    to the generated DuckDB oracle SQL. Map-side on the scan partitions — no
+    shuffle at all."""
+    idtype = docs.schema[id_col].dataType.simpleString()
+    return docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).mapInPandas(
+        TH.simhash_kernel, f"id {idtype}, simhash long"
     )
 
 

@@ -54,6 +54,72 @@ def test_simhash_pairs_find_exact_dups(doc_df):
     assert expected_exact <= zero
 
 
+PARITY_TEXTS = [
+    "",
+    None,
+    "alpha beta gamma alpha beta gamma delta",
+    "The QUICK brown-fox; jumps_over 42 lazy dogs!!",
+    "한국어 문서 with mixed 스크립트 and punctuation, 보존력 시험 결과",
+    "x",
+    "one two",
+    "repeat repeat repeat repeat repeat",
+]
+
+
+def test_simhash_kernel_matches_catalyst(spark):
+    """The numpy kernel must be bit-identical to the Catalyst simhash64
+    definition (which the DuckDB oracle SQL restates)."""
+    from micro_lab_ocr_spark.functions import text as T
+    from micro_lab_ocr_spark.kernels import texthash as TH
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PARITY_TEXTS)], "doc_id long, text string"
+    )
+    catalyst = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", T.simhash64(F.col("text")).alias("sh")).collect()
+    }
+    for i, t in enumerate(PARITY_TEXTS):
+        assert TH.simhash64_py(t) == catalyst[i], f"simhash mismatch on {t!r}"
+
+
+def test_minhash_kernel_matches_catalyst(spark):
+    """Shingle sets + band keys from the numpy kernel == the Catalyst
+    minhash_signature/lsh_bands construction."""
+    from micro_lab_ocr_spark.functions import text as T
+    from micro_lab_ocr_spark.kernels import texthash as TH
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PARITY_TEXTS)], "doc_id long, text string"
+    )
+    sh = F.array_distinct(T.word_shingles(F.col("text"), 3))
+    cat = {
+        r["doc_id"]: (r["shingles"], [b["key"] for b in r["bands"]])
+        for r in df.select(
+            "doc_id",
+            sh.alias("shingles"),
+            T.lsh_bands(T.minhash_signature(sh, 8), 4, 2).alias("bands"),
+        ).collect()
+    }
+    for i, t in enumerate(PARITY_TEXTS):
+        shingles = TH.word_shingles_py(t, 3)
+        assert sorted(shingles) == sorted(cat[i][0]), f"shingles mismatch on {t!r}"
+        if shingles:
+            assert TH.minhash_buckets_py(shingles, 8, 4) == cat[i][1], f"bands mismatch on {t!r}"
+
+
+def test_minhash_oversize_bucket_guard(spark):
+    """Degenerate buckets are dropped AND counted — never silent. 60 docs
+    with identical text all share every band bucket; max_bucket=10 must drop
+    them (no pairs) and report the 4 oversized band keys."""
+    same = [(i, "common stop shingle storm text repeated everywhere") for i in range(60)]
+    df = spark.createDataFrame(same, "doc_id long, text string")
+    stats: dict = {}
+    pairs = dedup.minhash_lsh_pairs(df, max_bucket=10, stats=stats)
+    assert pairs.count() == 0
+    assert stats["oversize_buckets"] == 4  # all 4 bands degenerate
+
+
 def test_enrich_join_fills_empty(spark):
     records = spark.createDataFrame(
         [("GB1-A", "25E15I14"), ("NOPE-X", "25E15I15")],

@@ -72,6 +72,22 @@ def test_grid_extract_no_extra_shuffles(spark):
     assert plan.count("REPARTITION_BY_NUM") >= 1
 
 
+def test_ngram_jaccard_is_hash_join(spark):
+    """The length-band pairing must plan as an equi hash join on the block
+    key — never a BroadcastNestedLoopJoin / cartesian (O(n²) at scale)."""
+    plan = plan_of(Q.dedup_ngram_q(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_no_window_over_shingles(spark):
+    """The bucket-size guard must count on a (bucket)-only projection — a
+    Window over rows carrying the shingle arrays would shuffle the dominant
+    payload bytes twice."""
+    plan = plan_of(Q.dedup_minhash_q(spark, SF))
+    assert "Window" not in plan
+
+
 def test_cleaners_stay_jvm_side(spark):
     """F-banks must be pure Catalyst expressions — no Python nodes at all.
 

@@ -370,7 +370,10 @@ def normalize_document(doc_id: str, spans: list[dict], media: dict[str, bytes]) 
             out.append(
                 {"kind": "table", "text": spanspec.serialize_table(date_info, records), "media_ref": ref}
             )
-        elif kind == "pdf" and ref in media:
+        elif kind == "pdf" and ref in media and media[ref].startswith(pdf_kernel.MAGIC):
+            # S2: only decodable containers are parsed; DRM-flagged (%PDF +
+            # /Encrypt) or headerless bytes fall to the pass-through arm
+            # (`drm_utils.py:19-134`; S3 decrypt is an external non-goal)
             out.append({"kind": "text", "text": pdf_kernel.layout_text(media[ref]), "media_ref": ref})
         else:
             # unknown kind, or media span whose ref is missing from the media

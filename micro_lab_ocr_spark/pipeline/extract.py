@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from micro_lab_ocr_spark import spanspec
-from micro_lab_ocr_spark.operators import grid_extract
+from micro_lab_ocr_spark.operators import drm, grid_extract
 
 SPAN_SCHEMA = "doc_id string, offset int, kind string, text string, media_ref string"
 OUT_FIELDS = ["doc_id", "offset", "kind", "text", "media_ref"]
@@ -211,12 +211,17 @@ def normalize_spans(
     if media_is_empty:
         pdf_out = pdf_spans
     else:
+        # S2 DRM detect (`drm_utils.py:19-134`): only decodable containers
+        # reach the layout kernel; DRM-flagged / undecodable bytes pass
+        # through unchanged (S3 external decrypt is a non-goal — visible,
+        # never dropped), exactly like dangling media refs.
         pdf_joined = pdf_spans.join(media, "media_ref", "left")
-        pdf_missing = pdf_joined.where(F.col("content").isNull()).select(
+        decodable = drm.is_decodable(F.col("content"))
+        pdf_missing = pdf_joined.where(~decodable).select(
             "doc_id", "offset", "kind", "text", "media_ref"
         )
         pdf_out = (
-            pdf_joined.where(F.col("content").isNotNull())
+            pdf_joined.where(decodable)
             .select("doc_id", "offset", "media_ref", "content")
             .mapInPandas(_pdf_layout, SPAN_SCHEMA)
             .unionByName(pdf_missing)

@@ -1158,6 +1158,62 @@ def flagship_entry(spark, sf_dir, mult: int | None = None):
 
 
 # ===========================================================================
+# S2 — DRM detect (`drm_utils.py:19-134`)
+# ===========================================================================
+
+_DRM_CASES = [
+    "%PDF-1.4 1 0 obj << /Type /Catalog >> stream ",   # clear pdf
+    "%PDF-1.5 trailer << /Encrypt 9 0 R >> ",           # encrypted pdf
+    'MLPDF[{"text":"block"}] ',                          # decodable fixture container
+    "GARBAGE-NO-HEADER ",                                # suspect bytes
+]
+
+
+def s2_drm_detect(spark, sf_dir):
+    """S2 — 3-tier DRM detection over synthesized binary content keyed off
+    orders; the binary predicates (header magic + /Encrypt scan) run
+    JVM-side on a BinaryType column."""
+    from micro_lab_ocr_spark.operators import drm
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw = F.concat(
+        F.element_at(F.lit(_DRM_CASES), (k % 4).cast("int") + 1), k.cast("string")
+    )
+    det = drm.drm_detect(F.encode(raw, "UTF-8"))
+    return orders.select(
+        k.alias("key"),
+        raw.alias("raw"),
+        det.getField("is_drm").alias("is_drm"),
+        det.getField("method").alias("method"),
+        det.getField("confidence").alias("confidence"),
+    )
+
+
+def _s2_sql() -> str:
+    lits = ", ".join(_q(s) for s in _DRM_CASES)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS key,
+         ([{lits}])[CAST(o_orderkey % 4 AS INT) + 1] || CAST(o_orderkey AS VARCHAR) AS raw
+  FROM orders
+)
+SELECT key, raw,
+       CASE WHEN starts_with(raw, '%PDF') AND contains(raw, '/Encrypt') THEN TRUE
+            WHEN starts_with(raw, '%PDF') THEN FALSE
+            WHEN starts_with(raw, 'MLPDF') THEN FALSE
+            ELSE TRUE END AS is_drm,
+       CASE WHEN starts_with(raw, '%PDF') AND contains(raw, '/Encrypt') THEN 'binary_encrypt_flag'
+            WHEN starts_with(raw, '%PDF') THEN 'opens_clean'
+            WHEN starts_with(raw, 'MLPDF') THEN 'opens_clean'
+            ELSE 'no_pdf_header' END AS method,
+       CASE WHEN starts_with(raw, '%PDF') OR starts_with(raw, 'MLPDF') THEN 'high'
+            ELSE 'medium' END AS confidence
+FROM base
+"""
+
+
+# ===========================================================================
 # F12/F13/J2 — strain normalize, judgment decode, positional pair match
 # ===========================================================================
 
@@ -1311,6 +1367,7 @@ REGISTRY: dict[str, tuple] = {
     "f12_strain_normalize": (f12_strain_normalize, None),
     "f13_judgment": (f13_judgment, None),
     "j2_pair_match": (j2_pair_match, J2_SQL),
+    "s2_drm_detect": (s2_drm_detect, None),  # SQL generated lazily
 }
 
 
@@ -1328,6 +1385,7 @@ def oracle_sql_dict():
     out["f3_id_extraction"] = _f3_sql()
     out["f12_strain_normalize"] = _f12_sql()
     out["f13_judgment"] = _f13_sql()
+    out["s2_drm_detect"] = _s2_sql()
     return out
 
 

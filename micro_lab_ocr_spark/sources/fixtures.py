@@ -348,8 +348,22 @@ def generate_corpus(
             else:
                 ref = f"m://{doc_id}/{media_n}"
                 media_n += 1
-                media.append({"media_ref": ref,
-                              "content": pdf_kernel.encode_pdf(make_pdf_blocks(rng))})
+                r2 = rng.random()
+                if r2 < 0.10:
+                    # S2 fixture: DRM-encrypted real-PDF bytes (%PDF header +
+                    # /Encrypt flag) — must pass through undecoded
+                    content = (
+                        b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+                        b"trailer\n<< /Encrypt 9 0 R /ID [<"
+                        + f"{rng.randint(0, 2**32):08x}".encode()
+                        + b">] >>\n%%EOF"
+                    )
+                elif r2 < 0.15:
+                    # headerless/corrupt bytes — DRM-suspect pass-through
+                    content = b"\x00\x01corrupt" + str(rng.randint(0, 9999)).encode()
+                else:
+                    content = pdf_kernel.encode_pdf(make_pdf_blocks(rng))
+                media.append({"media_ref": ref, "content": content})
                 spans.append({"kind": "pdf", "text": "", "media_ref": ref, "offset": off})
         docs.append({"doc_id": doc_id, "spans": spans})
 

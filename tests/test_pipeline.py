@@ -89,6 +89,36 @@ def test_edge_docs_not_lost(spark):
         assert got[d["doc_id"]] == expected, d["doc_id"]
 
 
+def test_drm_pdf_spans_pass_through(spark):
+    """S2: DRM-encrypted and headerless pdf media are detected and pass
+    through undecoded (never dropped, never fed to the layout kernel); clear
+    MLPDF containers still decode (`drm_utils.py:19-134`)."""
+    from micro_lab_ocr_spark.kernels import pdf as pk
+
+    media = [
+        ("m://a/0", b"%PDF-1.7 trailer << /Encrypt 9 0 R >> %%EOF"),
+        ("m://a/1", b"\x00\x01corrupted-no-header"),
+        ("m://a/2", pk.encode_pdf([{"x0": 0.0, "x1": 10.0, "y0": 0.0, "y1": 10.0, "text": "ok"}])),
+    ]
+    docs = [{"doc_id": "a", "spans": [
+        {"kind": "pdf", "text": "", "media_ref": "m://a/0", "offset": 0},
+        {"kind": "pdf", "text": "", "media_ref": "m://a/1", "offset": 1},
+        {"kind": "pdf", "text": "", "media_ref": "m://a/2", "offset": 2}]}]
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame([(r, bytearray(c)) for r, c in media], MEDIA_SCHEMA)
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+           for r in px.normalize_spans(docs_df, media_df).collect()}
+    expected = ox.normalize_document("a", docs[0]["spans"], dict(media))
+    assert got["a"] == expected
+    assert got["a"][0]["kind"] == "pdf"   # encrypted → untouched
+    assert got["a"][1]["kind"] == "pdf"   # corrupt → untouched
+    assert got["a"][2] == {"kind": "text", "text": "ok", "media_ref": "m://a/2", "offset": 2}
+
+
 def test_grid_records_parity_targeted(spark):
     """Azure grid extraction: Catalyst vs oracle on targeted grid shapes
     (keyword header / strain-keyword header / headerless / spec variants)."""

@@ -153,3 +153,30 @@ MERGED_LESS_THAN = r"<\s*\d+"
 # applied AFTER X/x→× substitution.
 SCIENTIFIC_SPACED = r"(\d+\.?\d*)\s*[×]\s*10\s*(\d*)"
 SCIENTIFIC_TIGHT = r"(\d+\.?\d*)[×]10(\d+)"
+
+# ---------------------------------------------------------------------------
+# F16 — multi-format date parse (`backend.py:774-798`): the 9 strptime
+# formats tried in order (month-day forms first, then day-month). Each entry
+# is (anchored regex, group order) where the regex restates the strptime
+# token classes: %m = 1-12 (optional leading zero), %d = 1-31, whitespace in
+# the format matches a whitespace run. Year stays at strptime's implicit
+# 1900 (non-leap) — so '02 29' parses in NO format.
+# ---------------------------------------------------------------------------
+_F16_M = r"(1[0-2]|0[1-9]|[1-9])"
+_F16_D = r"(3[01]|[12][0-9]|0[1-9]|[1-9])"
+DATE_FORMATS: list[tuple[str, str]] = [
+    (rf"^{_F16_M}\s+{_F16_D}$", "md"),      # '%m %d'
+    (rf"^{_F16_M}-{_F16_D}$", "md"),        # '%m-%d'
+    (rf"^{_F16_M}/{_F16_D}$", "md"),        # '%m/%d'
+    (rf"^{_F16_M}\.{_F16_D}$", "md"),       # '%m.%d'
+    (rf"^{_F16_M}월{_F16_D}일$", "md"),     # '%m월%d일'
+    (rf"^{_F16_M}월\s+{_F16_D}일$", "md"),  # '%m월 %d일'
+    (rf"^{_F16_D}/{_F16_M}$", "dm"),        # '%d/%m'
+    (rf"^{_F16_D}-{_F16_M}$", "dm"),        # '%d-%m'
+    (rf"^{_F16_D}\s+{_F16_M}$", "dm"),      # '%d %m'
+]
+# day-count per month in year 1900 (strptime default year; NOT a leap year)
+DAYS_IN_MONTH_1900: dict[int, int] = {
+    1: 31, 2: 28, 3: 31, 4: 30, 5: 31, 6: 30,
+    7: 31, 8: 31, 9: 30, 10: 31, 11: 30, 12: 31,
+}

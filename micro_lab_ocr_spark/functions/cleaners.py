@@ -367,6 +367,40 @@ def fix_date_cell(col: Column) -> Column:
     return F.regexp_replace(col, r"^(\d)\.(\d)\s+(\d{1,2})$", "$1$2 $3")
 
 
+def parse_date_multi(col: Column) -> Column:
+    """F16 — multi-format date parse (`backend.py:774-798`): the 9 strptime
+    formats in precedence order → '1900-MM-DD' string, or '' when no format
+    yields a valid date. A format whose shape matches but whose day is out of
+    range for that month in year 1900 falls through to the NEXT format,
+    exactly like strptime's ValueError → continue loop (so '02 29' → '')."""
+
+    def inner(c: Column) -> Column:
+        branches = []
+        for pat, order in banks.DATE_FORMATS:
+            gm, gd = (1, 2) if order == "md" else (2, 1)
+            m = F.regexp_extract(c, pat, gm).try_cast("int")
+            d = F.regexp_extract(c, pat, gd).try_cast("int")
+            max_day = (
+                F.when(m == 2, F.lit(28))
+                .when(m.isin(4, 6, 9, 11), F.lit(30))
+                .otherwise(F.lit(31))
+            )
+            branches.append(
+                F.when(
+                    d <= max_day,  # null-safe: no match → m/d null → branch null
+                    F.concat(
+                        F.lit("1900-"),
+                        F.lpad(m.cast("string"), 2, "0"),
+                        F.lit("-"),
+                        F.lpad(d.cast("string"), 2, "0"),
+                    ),
+                )
+            )
+        return F.coalesce(*branches, F.lit(""))
+
+    return let(col, inner)
+
+
 def date_ladder(month: Column, day: Column) -> Column:
     """F17 — struct<date_0,date_7,date_14,date_28> of 'MM/dd' strings, year
     pinned to 2024 (`backend_preservation.py:381,400`)."""

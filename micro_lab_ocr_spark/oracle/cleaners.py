@@ -424,6 +424,30 @@ def date_ladder(month: int, day: int, year: int = 2024) -> dict[str, str]:
     }
 
 
+_F16_FORMATS = [
+    "%m %d", "%m-%d", "%m/%d", "%m.%d",
+    "%m월%d일", "%m월 %d일",
+    "%d/%m", "%d-%m", "%d %m",
+]
+
+
+def parse_date_multi(value: str) -> str:
+    """F16 spec (`backend.py:774-798`): try the 9 strptime formats in order;
+    '1900-MM-DD' on first success, '' when none parses. strptime's implicit
+    year 1900 is the reference quirk that makes '02 29' unparseable (1900 is
+    not a leap year). The reference's trailing `re.match(r'^\\d+\\s+\\d+$')`
+    retry of '%m %d' adds nothing (that format was already tried) and is
+    deliberately omitted."""
+    if not value:
+        return ""
+    for fmt in _F16_FORMATS:
+        try:
+            return datetime.strptime(value, fmt).strftime("%Y-%m-%d")
+        except ValueError:
+            continue
+    return ""
+
+
 def date_ladder_1900(month: int, day: int) -> dict[str, str]:
     """Upstage F17 variant (`backend.py:290-298`): the year is strptime's
     implicit 1900 (non-leap), a reference quirk that shifts ladders crossing

@@ -57,20 +57,14 @@ def extract_date_info_html(rows: list[list[html_kernel.Cell]],
                 "date_14": consecutive[2],
                 "date_28": consecutive[3],
             }
-        m = re.match(r"^(\d{1,2})[/\-. ](\d{1,2})$", first)
-        # `parse_date` tries 9 strptime formats (`backend.py:774-798`) in
-        # order — month-day forms first, then day-month for '/', '-', ' '.
+        # F16: `parse_date` tries 9 strptime formats (`backend.py:774-798`)
+        # in order — month-day forms first, then day-month for '/', '-', ' '.
         # strptime leaves the year at its default 1900, so the Upstage ladder
         # does its +7/+14/+28 arithmetic in year 1900 (NOT 2024 like the
         # Azure engine) — a reference quirk preserved by date_ladder_1900.
-        if m:
-            a, b = int(m.group(1)), int(m.group(2))
-            sep = first[m.end(1)]
-            for month, day in ((a, b), (b, a)) if sep in "/- " else ((a, b),):
-                try:
-                    return oc.date_ladder_1900(month, day)
-                except ValueError:
-                    continue
+        parsed = oc.parse_date_multi(first)
+        if parsed:
+            return oc.date_ladder_1900(int(parsed[5:7]), int(parsed[8:10]))
     if last_date_info:
         return dict(last_date_info)
     return {}

@@ -1028,6 +1028,70 @@ FROM orders
 """
 
 
+_F16_TEMPLATES = [
+    "{m} {d}", "{m}-{d}", "{m}/{d}", "{m}.{d}",
+    "{m}월{d}일", "{m}월 {d}일",
+    "{big}/{m}", "{big}-{m}", "{big} {m}",
+    "02 29",        # valid shape, invalid date in year 1900 → ''
+    "no date",      # unparseable → ''
+    "{mp}/{dp}",    # zero-padded month-day
+]
+
+
+def f16_date_parse(spark, sf_dir):
+    """F16 — 9-format strptime-equivalent date parse with the year-1900
+    quirk, over synthesized date strings covering every format + invalids."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = ((k % 12) + 1).cast("string")
+    d = ((k % 28) + 1).cast("string")
+    big = ((k % 16) + 13).cast("string")  # 13..28: forces the day-month forms
+    mp = F.lpad(m, 2, "0")
+    dp = F.lpad(d, 2, "0")
+    tpl = F.element_at(F.lit(_F16_TEMPLATES), (k % len(_F16_TEMPLATES)).cast("int") + 1)
+    raw = tpl
+    for name, col in (("{m}", m), ("{d}", d), ("{big}", big), ("{mp}", mp), ("{dp}", dp)):
+        raw = F.replace(raw, F.lit(name), col)
+    return orders.select(
+        k.alias("key"), raw.alias("raw"), C.parse_date_multi(raw).alias("parsed")
+    )
+
+
+def _f16_sql() -> str:
+    tpls = ", ".join(_q(s) for s in _F16_TEMPLATES)
+    raw = (
+        f"replace(replace(replace(replace(replace("
+        f"([{tpls}])[CAST(key % {len(_F16_TEMPLATES)} AS INT) + 1],"
+        f" '{{m}}', m), '{{d}}', d), '{{big}}', big), '{{mp}}', lpad(m, 2, '0')),"
+        f" '{{dp}}', lpad(d, 2, '0'))"
+    )
+    branches = []
+    for pat, order in banks.DATE_FORMATS:
+        gm, gd = (1, 2) if order == "md" else (2, 1)
+        mm = f"TRY_CAST(regexp_extract(raw, {_q(pat)}, {gm}) AS INT)"
+        dd = f"TRY_CAST(regexp_extract(raw, {_q(pat)}, {gd}) AS INT)"
+        maxd = (
+            f"CASE WHEN {mm} = 2 THEN 28 WHEN {mm} IN (4, 6, 9, 11) THEN 30 ELSE 31 END"
+        )
+        branches.append(
+            f"CASE WHEN {dd} <= {maxd} THEN "
+            f"'1900-' || lpad(CAST({mm} AS VARCHAR), 2, '0') || '-' "
+            f"|| lpad(CAST({dd} AS VARCHAR), 2, '0') END"
+        )
+    chain = "COALESCE(" + ",\n  ".join(branches) + ", '')"
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS key,
+         CAST((o_orderkey % 12) + 1 AS VARCHAR) AS m,
+         CAST((o_orderkey % 28) + 1 AS VARCHAR) AS d,
+         CAST((o_orderkey % 16) + 13 AS VARCHAR) AS big
+  FROM orders
+),
+raws AS (SELECT key, {raw} AS raw FROM base)
+SELECT key, raw, {chain} AS parsed FROM raws
+"""
+
+
 def f15_consecutive_dates(spark, sf_dir):
     """F15 — consecutive 'MM DD ×4' date-string parse, synthesized from keys."""
     orders = load(spark, sf_dir, "orders")
@@ -1364,6 +1428,7 @@ REGISTRY: dict[str, tuple] = {
     "f3_id_extraction": (f3_id_extraction, None),
     "f17_date_ladder": (f17_date_ladder, F17_SQL),
     "f15_consecutive_dates": (f15_consecutive_dates, F15_SQL),
+    "f16_date_parse": (f16_date_parse, None),  # SQL generated lazily
     "f12_strain_normalize": (f12_strain_normalize, None),
     "f13_judgment": (f13_judgment, None),
     "j2_pair_match": (j2_pair_match, J2_SQL),
@@ -1386,6 +1451,7 @@ def oracle_sql_dict():
     out["f12_strain_normalize"] = _f12_sql()
     out["f13_judgment"] = _f13_sql()
     out["s2_drm_detect"] = _s2_sql()
+    out["f16_date_parse"] = _f16_sql()
     return out
 
 

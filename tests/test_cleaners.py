@@ -270,3 +270,29 @@ def test_cleaner_eventually_stable():
             assert thrice == twice, f"not stable: {v!r} day {day}: {twice!r} -> {thrice!r}"
             if "×10^" not in once:
                 assert twice == once, f"not idempotent: {v!r} day {day}: {once!r} -> {twice!r}"
+
+
+def test_f16_parse_date_multi_parity(spark):
+    """F16: Catalyst 9-format chain == strptime oracle (`backend.py:774-798`),
+    including day-month fallbacks, the year-1900 Feb-29 quirk, and
+    shape-matches-but-invalid-date fallthrough."""
+    from pyspark.sql import functions as F
+
+    from micro_lab_ocr_spark.functions import cleaners as C
+    from micro_lab_ocr_spark.oracle import cleaners as oc
+
+    cases = [
+        "3 15", "03 15", "03-04", "12/31", "1.5", "12.25",
+        "3월4일", "12월 25일", "1월1일",
+        "15/03", "31-12", "13 1", "28 02",
+        "02 29", "2/30", "31/04", "29 02",   # invalid dates → ''
+        "30/04", "31/01",
+        "00 10", "13 13", "asdf", "", "05 15 extra", "  ", "5  7",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, v string")
+    got = {
+        r["i"]: r["p"]
+        for r in df.select("i", C.parse_date_multi(F.col("v")).alias("p")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == oc.parse_date_multi(c), f"F16 mismatch on {c!r}: {got[i]}"

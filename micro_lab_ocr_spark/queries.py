@@ -1148,6 +1148,42 @@ FROM toks
 # ===========================================================================
 
 
+def _flagship_test(k):
+    """Raw synthesized test# with an OCR-noised marker (I/1/|/!) by k%4."""
+    return F.concat(
+        F.lit("2"), ((k % 3) + 4).cast("string"), F.chr((k % 12) + 65),
+        F.lpad(((k % 20) + 10).cast("string"), 2, "0"),
+        F.element_at(F.lit(["I", "1", "|", "!"]), (k % 4).cast("int") + 1),
+        F.lpad(((k % 90) + 10).cast("string"), 2, "0"),
+    )
+
+
+def _flagship_presc(k):
+    return F.concat(
+        F.element_at(F.lit(["GB", "CCA", "LAF", "WC"]), (k % 4).cast("int") + 1),
+        ((k % 9000) + 1000).cast("string"), F.lit("-"),
+        F.element_at(F.lit(["ZMB", "VAA", "OZ2A", "AZLY1", "11F"]), (k % 5).cast("int") + 1),
+    )
+
+
+_FLAGSHIP_CFU7 = ["40", "CIO", "<10", "110", "4102"]
+
+
+def _flagship_table_html(k, test, presc):
+    cfu7 = F.element_at(F.lit(_FLAGSHIP_CFU7), (k % 5).cast("int") + 1)
+    return F.concat(
+        F.lit("<table><tr><td>보존력 시험</td></tr><tr><td>"),
+        F.lpad(((k % 12) + 1).cast("string"), 2, "0"), F.lit("/"),
+        F.lpad(((k % 20) + 1).cast("string"), 2, "0"),
+        F.lit("</td><td>일자</td></tr>"),
+        F.lit('<tr><td rowspan="2">제품명 '), presc, F.lit(" "), test,
+        F.lit("</td><td>E.coli</td><td>≤3</td><td>5.5X105</td><td>"), cfu7,
+        F.lit("</td><td>40</td><td>110</td><td>0</td><td>X</td></tr>"),
+        F.lit("<tr><td>C.albicans</td><td>≤3</td><td>6.1X104</td><td>"), cfu7,
+        F.lit("</td><td>CIO</td><td>&lt;1&gt;</td><td></td><td>0</td></tr></table>"),
+    )
+
+
 def flagship_entry(spark, sf_dir, mult: int | None = None):
     """Build an interleaved (doc_id, spans) corpus from the documents table —
     one text span + one boilerplate-html span + one preservation table_html
@@ -1173,30 +1209,9 @@ def flagship_entry(spark, sf_dir, mult: int | None = None):
     # small files scan into 1-2 splits; spread the kernel work over all cores
     docs = docs.repartition(n_part, "doc_id")
     k = F.col("doc_id")
-    letter = F.chr((k % 12) + 65)
-    test = F.concat(
-        F.lit("2"), ((k % 3) + 4).cast("string"), letter,
-        F.lpad(((k % 20) + 10).cast("string"), 2, "0"),
-        F.element_at(F.lit(["I", "1", "|", "!"]), (k % 4).cast("int") + 1),
-        F.lpad(((k % 90) + 10).cast("string"), 2, "0"),
-    )
-    presc = F.concat(
-        F.element_at(F.lit(["GB", "CCA", "LAF", "WC"]), (k % 4).cast("int") + 1),
-        ((k % 9000) + 1000).cast("string"), F.lit("-"),
-        F.element_at(F.lit(["ZMB", "VAA", "OZ2A", "AZLY1", "11F"]), (k % 5).cast("int") + 1),
-    )
-    cfu7 = F.element_at(F.lit(["40", "CIO", "<10", "110", "4102"]), (k % 5).cast("int") + 1)
-    table_html = F.concat(
-        F.lit("<table><tr><td>보존력 시험</td></tr><tr><td>"),
-        F.lpad(((k % 12) + 1).cast("string"), 2, "0"), F.lit("/"),
-        F.lpad(((k % 20) + 1).cast("string"), 2, "0"),
-        F.lit("</td><td>일자</td></tr>"),
-        F.lit('<tr><td rowspan="2">제품명 '), presc, F.lit(" "), test,
-        F.lit("</td><td>E.coli</td><td>≤3</td><td>5.5X105</td><td>"), cfu7,
-        F.lit("</td><td>40</td><td>110</td><td>0</td><td>X</td></tr>"),
-        F.lit("<tr><td>C.albicans</td><td>≤3</td><td>6.1X104</td><td>"), cfu7,
-        F.lit("</td><td>CIO</td><td>&lt;1&gt;</td><td></td><td>0</td></tr></table>"),
-    )
+    test = _flagship_test(k)
+    presc = _flagship_presc(k)
+    table_html = _flagship_table_html(k, test, presc)
     html = F.concat(
         F.lit("<html><body><nav><div><a href='/x'>nav one</a> <a href='/y'>nav two</a></div></nav>"
               "<div id='c'><p>"),
@@ -1216,6 +1231,180 @@ def flagship_entry(spark, sf_dir, mult: int | None = None):
     )
     media = spark.createDataFrame([], "media_ref string, content binary")
     return px.normalize_spans(interleaved, media)
+
+
+# ===========================================================================
+# records path: flagship table_html spans → REAL Upstage kernel → 9-field
+# records → J1 enrichment join + R3 per-test pivot over actual extraction
+# output (`backend_preservation.py:1708-1728`, `backend.py:1059-1116`).
+# The oracle SQL re-derives the expected records arithmetically from the
+# documents keys, with the cleaned-value literals computed AT GENERATION TIME
+# by the pure-Python oracle (single source of truth; empirically probed:
+# marker '|' defeats test# extraction, suffix '11F' defeats prescription
+# extraction — both expected blanks, not bugs).
+# ===========================================================================
+
+_UPSTAGE_SCHEMA = (
+    "doc_id string, offset int, lines string, ok boolean, "
+    "d0 string, d7 string, d14 string, d28 string"
+)
+
+
+def _flagship_records(spark, sf_dir):
+    """(key, 9 record fields) rows out of the real table_html kernel path."""
+    from micro_lab_ocr_spark import spanspec
+    from micro_lab_ocr_spark.pipeline import extract as px
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    k = F.col("doc_id")
+    pages = docs.select(
+        k.cast("string").alias("doc_id"),
+        F.lit(0).alias("offset"),
+        _flagship_table_html(k, _flagship_test(k), _flagship_presc(k)).alias("text"),
+    )
+    up = pages.mapInPandas(px._upstage_pages, _UPSTAGE_SCHEMA)
+    lines = up.select(
+        F.col("doc_id").cast("long").alias("key"),
+        F.explode(F.split("lines", "\n")).alias("line"),
+    ).where(F.col("line") != "")
+    parts = F.split(F.col("line"), r"\|")
+    return lines.select(
+        "key",
+        *[F.element_at(parts, i + 1).alias(f) for i, f in enumerate(spanspec.RECORD_FIELDS)],
+    )
+
+
+def _records_sql_ctes() -> str:
+    """Expected-records CTE: two rows per doc key, literals from the oracle."""
+    from micro_lab_ocr_spark.oracle import cleaners as ocl
+
+    c7 = [ocl.clean_cfu_value_upstage(v, "E.coli", "7") for v in _FLAGSHIP_CFU7]
+    cfu7_map = (
+        "CASE CAST(doc_id % 5 AS INT) "
+        + " ".join(f"WHEN {i} THEN {_q(v)}" for i, v in enumerate(c7))
+        + " END"
+    )
+    e = {
+        "cfu0": ocl.clean_cfu_value_upstage("5.5X105", "E.coli", "0"),
+        "cfu14": ocl.clean_cfu_value_upstage("40", "E.coli", "14"),
+        "cfu28": ocl.clean_cfu_value_upstage("110", "E.coli", "28"),
+        "judg": ocl.extract_judgment_upstage("0"),
+        "final": ocl.extract_judgment_upstage("X"),
+    }
+    a = {
+        "cfu0": ocl.clean_cfu_value_upstage("6.1X104", "C.albicans", "0"),
+        "cfu14": ocl.clean_cfu_value_upstage("CIO", "C.albicans", "14"),
+        "cfu28": ocl.clean_cfu_value_upstage("&lt;1&gt;", "C.albicans", "28"),
+        "judg": ocl.extract_judgment_upstage(""),
+        "final": ocl.extract_judgment_upstage("0"),
+    }
+    # marker k%4==2 ('|') → test extraction misses; suffix k%5==4 ('11F') →
+    # prescription extraction misses (probed against the oracle)
+    test = (
+        "CASE WHEN doc_id % 4 = 2 THEN '' ELSE "
+        "'2' || CAST((doc_id % 3) + 4 AS VARCHAR) || chr(CAST((doc_id % 12) + 65 AS INT)) "
+        "|| lpad(CAST((doc_id % 20) + 10 AS VARCHAR), 2, '0') || 'I' "
+        "|| lpad(CAST((doc_id % 90) + 10 AS VARCHAR), 2, '0') END"
+    )
+    presc_raw = (
+        "(['GB','CCA','LAF','WC'])[CAST(doc_id % 4 AS INT) + 1] "
+        "|| CAST((doc_id % 9000) + 1000 AS VARCHAR) || '-' "
+        "|| (['ZMB','VAA','OZ2A','AZLY1','11F'])[CAST(doc_id % 5 AS INT) + 1]"
+    )
+    presc = f"CASE WHEN doc_id % 5 = 4 THEN '' ELSE {presc_raw} END"
+
+    def row(strain: str, lits: dict) -> str:
+        return (
+            f"SELECT doc_id AS key, {test} AS test_number, {presc} AS prescription_number, "
+            f"{_q(strain)} AS strain, {_q(lits['cfu0'])} AS cfu_0day, {cfu7_map} AS cfu_7day, "
+            f"{_q(lits['cfu14'])} AS cfu_14day, {_q(lits['cfu28'])} AS cfu_28day, "
+            f"{_q(lits['judg'])} AS judgment, {_q(lits['final'])} AS final_judgment "
+            f"FROM documents"
+        )
+
+    return f"recs AS (\n{row('E.coli', e)}\nUNION ALL\n{row('C.albicans', a)}\n)"
+
+
+def j1_records_enrich(spark, sf_dir):
+    """J1 over real extraction output: kernel-extracted records left-join a
+    broadcast progress-master dimension on prescription#, misses → ''."""
+    recs = _flagship_records(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    presc = _flagship_presc(k)
+    dim = (
+        docs.where(k % 5 < 2)  # suffixes ZMB/VAA form the master table
+        .select(
+            presc.alias("prescription_number"),
+            F.concat(F.lit("PROD-"), presc).alias("product_name"),
+            F.element_at(
+                F.lit(["O/W", "W/O", "Gel"]), (F.length(presc) % 3).cast("int") + 1
+            ).alias("formulation"),
+        )
+        .distinct()
+    )
+    return recs.join(F.broadcast(dim), "prescription_number", "left").select(
+        "key",
+        "strain",
+        "test_number",
+        "prescription_number",
+        "cfu_7day",
+        F.coalesce("product_name", F.lit("")).alias("product_name"),
+        F.coalesce("formulation", F.lit("")).alias("formulation"),
+    )
+
+
+def _j1_records_sql() -> str:
+    presc_dim = (
+        "(['GB','CCA','LAF','WC'])[CAST(doc_id % 4 AS INT) + 1] "
+        "|| CAST((doc_id % 9000) + 1000 AS VARCHAR) || '-' "
+        "|| (['ZMB','VAA'])[CAST(doc_id % 5 AS INT) + 1]"
+    )
+    return f"""
+WITH {_records_sql_ctes()},
+dim AS (
+  SELECT DISTINCT {presc_dim} AS prescription_number,
+         'PROD-' || {presc_dim} AS product_name,
+         (['O/W','W/O','Gel'])[CAST(length({presc_dim}) % 3 AS INT) + 1] AS formulation
+  FROM documents WHERE doc_id % 5 < 2
+)
+SELECT key, strain, test_number, prescription_number, cfu_7day,
+       COALESCE(product_name, '') AS product_name,
+       COALESCE(formulation, '') AS formulation
+FROM recs LEFT JOIN dim USING (prescription_number)
+"""
+
+
+def r3_records_pivot(spark, sf_dir):
+    """R3 over real extraction output: per-test strain pivot of kernel
+    records (P8 gate: blank test# can't be sheeted, mirrored here)."""
+    recs = _flagship_records(spark, sf_dir).where(F.col("test_number") != "")
+    p = (
+        recs.groupBy("test_number")
+        .pivot("strain", ["E.coli", "C.albicans"])
+        .agg(F.min("cfu_7day").alias("cfu7"), F.min("final_judgment").alias("final"))
+    )
+    return p.select(
+        "test_number",
+        F.col("`E.coli_cfu7`").alias("ecoli_cfu7"),
+        F.col("`E.coli_final`").alias("ecoli_final"),
+        F.col("`C.albicans_cfu7`").alias("calbicans_cfu7"),
+        F.col("`C.albicans_final`").alias("calbicans_final"),
+    )
+
+
+def _r3_records_sql() -> str:
+    return f"""
+WITH {_records_sql_ctes()}
+SELECT test_number,
+       MIN(CASE WHEN strain = 'E.coli' THEN cfu_7day END) AS ecoli_cfu7,
+       MIN(CASE WHEN strain = 'E.coli' THEN final_judgment END) AS ecoli_final,
+       MIN(CASE WHEN strain = 'C.albicans' THEN cfu_7day END) AS calbicans_cfu7,
+       MIN(CASE WHEN strain = 'C.albicans' THEN final_judgment END) AS calbicans_final
+FROM recs WHERE test_number != ''
+GROUP BY test_number
+"""
 
 
 
@@ -1433,6 +1622,8 @@ REGISTRY: dict[str, tuple] = {
     "f13_judgment": (f13_judgment, None),
     "j2_pair_match": (j2_pair_match, J2_SQL),
     "s2_drm_detect": (s2_drm_detect, None),  # SQL generated lazily
+    "j1_records_enrich": (j1_records_enrich, None),
+    "r3_records_pivot": (r3_records_pivot, None),
 }
 
 
@@ -1452,6 +1643,8 @@ def oracle_sql_dict():
     out["f13_judgment"] = _f13_sql()
     out["s2_drm_detect"] = _s2_sql()
     out["f16_date_parse"] = _f16_sql()
+    out["j1_records_enrich"] = _j1_records_sql()
+    out["r3_records_pivot"] = _r3_records_sql()
     return out
 
 

@@ -96,7 +96,7 @@ def _upstage_pages(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (nullable) — the W2 carry happens downstream in a Spark window.
     """
     from micro_lab_ocr_spark.kernels import html as hk
-    from micro_lab_ocr_spark.oracle import extract as ox
+    from micro_lab_ocr_spark.kernels import upstage as uk
 
     for pdf in it:
         lines_out, d0, d7, d14, d28 = [], [], [], [], []
@@ -109,8 +109,8 @@ def _upstage_pages(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ok.append(False)
                 continue
             ok.append(True)
-            date_found = ox.extract_date_info_html(rows, None)
-            records = ox.parse_table_rows_html(rows, ox.FallbackState())
+            date_found = uk.date_header(rows)
+            records = uk.parse_page_records(rows)
             lines_out.append(
                 "\n".join(
                     "|".join(str(r[f]) for f in spanspec.RECORD_FIELDS) for r in records

@@ -89,6 +89,22 @@ def test_edge_docs_not_lost(spark):
         assert got[d["doc_id"]] == expected, d["doc_id"]
 
 
+def test_pipeline_independent_of_oracle():
+    """The production engine must not import the test oracle — spec and
+    implementation stay independently falsifiable (the golden tests above
+    are the referee between them)."""
+    import inspect
+    import re
+
+    from micro_lab_ocr_spark.kernels import upstage
+    from micro_lab_ocr_spark.operators import drm, fallback, grid_extract, salting
+    from micro_lab_ocr_spark.pipeline import checkpoint
+
+    imp = re.compile(r"^\s*(from|import)\s+\S*oracle", re.MULTILINE)
+    for mod in (px, upstage, grid_extract, fallback, salting, drm, checkpoint):
+        assert not imp.search(inspect.getsource(mod)), mod.__name__
+
+
 def test_drm_pdf_spans_pass_through(spark):
     """S2: DRM-encrypted and headerless pdf media are detected and pass
     through undecoded (never dropped, never fed to the layout kernel); clear

@@ -5,20 +5,26 @@ Dataflow (SURVEY §3.1 lifecycle, Spark-first):
     docs(doc_id, spans) ──explode──► span rows ──route by kind──►
       text        → pass-through
       html        → mapInPandas(main-content kernel)            [no shuffle]
-      pdf         → join media ──► mapInPandas(XY-cut kernel)   [1 shuffle: media_ref]
-      image       → join media ──► mapInPandas(OCR kernel) ──►
+      pdf         → DRM detect → media scan ⋈ broadcast(refs) →
+                    mapInPandas(XY-cut kernel)                  [no content shuffle]
+      image       → media scan ⋈ broadcast(refs) →
+                    mapInPandas(OCR kernel) ──►
                     grid_extract (pure Catalyst)                [1 shuffle: page]
       table_html  → mapInPandas(Upstage page kernel) ──►
                     W2 date-carry window over (doc_id, offset)  [1 shuffle: doc_id]
     ──unionByName──► groupBy(doc_id) collect+sort → dense offsets [1 shuffle: doc_id]
 
-Scale notes: with the docs table bucketed by doc_id (Iceberg
+Scale notes: media CONTENT never enters a shuffle — the narrow span-ref
+projection broadcasts onto the media scan and the decode kernels run in the
+scan's own stage (per checkpoint bucket the refs side is bounded; a
+whole-corpus pass would use bucket(media_ref) storage / SPJ for the same
+property). With the docs table bucketed by doc_id (Iceberg
 ``bucket(N, doc_id)``) the W2 window and the final reassembly reuse storage
-partitioning (SPJ) and their shuffles disappear; the media join is keyed by
-media_ref and AQE handles its skew. The Upstage page kernel is an Arrow-batched
+partitioning (SPJ) too. The Upstage page kernel is an Arrow-batched
 mapInPandas (one page per row — batch-level vectorization; per SURVEY §4.3 the
 FIFO fallback state is doc-local and deterministic). The Azure grid path is
-pure Catalyst — see operators/grid_extract.py.
+pure Catalyst — see operators/grid_extract.py. Arrow batches are capped at
+512 rows (session.py) so media batches stay cache-friendly.
 """
 
 from __future__ import annotations
@@ -163,13 +169,19 @@ def _with_dates(dates_line: Column, lines: Column) -> Column:
 
 
 def normalize_spans(
-    docs: DataFrame, media: DataFrame, salt_buckets: int = 0
+    docs: DataFrame,
+    media: DataFrame | None,
+    salt_buckets: int = 0,
+    media_present: bool | None = None,
 ) -> DataFrame:
     """docs(doc_id, spans:array<struct<kind,text,media_ref,offset>>) +
     media(media_ref, content:binary) → (doc_id, spans) normalized.
 
     ``salt_buckets``: >0 enables skew-salted reassembly for heavy-tailed docs
-    (see _assemble)."""
+    (see _assemble). ``media_present``: pass False for text-only corpora to
+    prune the media branches WITHOUT the driver-side ``isEmpty()`` action
+    (None = unknown → probe once; an eager action at plan-construction time
+    is acceptable only when the caller can't know)."""
     spans = docs.select(
         "doc_id",
         F.explode("spans").alias("s"),
@@ -198,62 +210,67 @@ def normalize_spans(
         .mapInPandas(_html_main_content, SPAN_SCHEMA)
     )
 
-    # Media joins are LEFT joins: spans whose media_ref is missing from the
-    # media table pass through unchanged (visible, not lost). When the media
-    # table is empty (text-only corpora) the pdf/image branches reduce to
-    # pure pass-through — skipping their joins/kernels prunes ~8 stages from
-    # the DAG (stage-latency chain is what caps strong scaling).
-    media_is_empty = media.isEmpty()
+    # Media routing. The content column is the dominant bytes of the whole
+    # job — it must NEVER enter a shuffle (this box's memory-bandwidth
+    # calibration shows byte-moving work scales at ~0.1 efficiency 8→32
+    # cores; a real cluster pays the same tax in network+spill). So instead
+    # of a spans⋈media shuffle join, the narrow (doc_id, offset, kind, text,
+    # media_ref) span projection BROADCASTS onto the media scan and the
+    # decode kernels run in the very same stage as that scan. Missing-ref
+    # pass-throughs route via a column-pruned media_ref key scan (tiny).
+    # At 10^12 docs the refs side is bounded per checkpoint bucket
+    # (pipeline/checkpoint.py); a whole-corpus single pass would instead
+    # co-locate via bucket(media_ref) storage (SPJ) — same no-content-shuffle
+    # property.
+    if media is None:
+        media_is_empty = True
+    elif media_present is not None:
+        media_is_empty = not media_present
+    else:
+        media_is_empty = media.isEmpty()
 
-    pdf_spans = spans.where(F.col("kind") == "pdf").select(
-        "doc_id", "offset", "kind", "text", "media_ref"
-    )
+    span_cols = ["doc_id", "offset", "kind", "text", "media_ref"]
+    pdf_spans = spans.where(F.col("kind") == "pdf").select(*span_cols)
+    image_spans = spans.where(F.col("kind") == "image").select(*span_cols)
     if media_is_empty:
         pdf_out = pdf_spans
-    else:
-        # S2 DRM detect (`drm_utils.py:19-134`): only decodable containers
-        # reach the layout kernel; DRM-flagged / undecodable bytes pass
-        # through unchanged (S3 external decrypt is a non-goal — visible,
-        # never dropped), exactly like dangling media refs.
-        pdf_joined = pdf_spans.join(media, "media_ref", "left")
-        decodable = drm.is_decodable(F.col("content"))
-        pdf_missing = pdf_joined.where(~decodable).select(
-            "doc_id", "offset", "kind", "text", "media_ref"
-        )
-        pdf_out = (
-            pdf_joined.where(decodable)
-            .select("doc_id", "offset", "media_ref", "content")
-            .mapInPandas(_pdf_layout, SPAN_SCHEMA)
-            .unionByName(pdf_missing)
-        )
-
-    # ---- image branch: OCR → Catalyst grid extraction --------------------
-    image_spans = spans.where(F.col("kind") == "image").select(
-        "doc_id", "offset", "kind", "text", "media_ref"
-    )
-    if media_is_empty:
-        image_missing = image_spans
-        grids = None
-    else:
-        image_joined = image_spans.join(media, "media_ref", "left")
-        image_missing = image_joined.where(F.col("content").isNull()).select(
-            "doc_id", "offset", "kind", "text", "media_ref"
-        )
-        grids = (
-            image_joined.where(F.col("content").isNotNull())
-            .select("doc_id", "offset", "media_ref", "content")
-            .mapInPandas(
-                _ocr_grids,
-                "doc_id string, offset int, media_ref string, "
-                "cells array<struct<row:int,col:int,text:string>>",
-            )
-        )
-    if grids is None:
-        image_out = image_missing
+        image_out = image_spans
         return _assemble(
             docs, text_out, html_out, pdf_out, image_out, _table_html_branch(spans),
             other_out, salt_buckets=salt_buckets,
         )
+
+    media_keys = F.broadcast(media.select("media_ref"))  # pruned key scan
+
+    # ---- pdf branch: DRM detect → XY-cut layout kernel --------------------
+    # S2 DRM detect (`drm_utils.py:19-134`): only decodable containers reach
+    # the layout kernel; DRM-flagged / undecodable bytes pass through
+    # unchanged (S3 external decrypt is a non-goal — visible, never lost),
+    # exactly like dangling media refs.
+    pdf_missing = pdf_spans.join(media_keys, "media_ref", "left_anti")
+    pdf_matched = media.join(F.broadcast(pdf_spans), "media_ref")
+    decodable = drm.is_decodable(F.col("content"))
+    pdf_undecodable = pdf_matched.where(~decodable).select(*span_cols)
+    pdf_out = (
+        pdf_matched.where(decodable)
+        .select("doc_id", "offset", "media_ref", "content")
+        .mapInPandas(_pdf_layout, SPAN_SCHEMA)
+        .unionByName(pdf_undecodable)
+        .unionByName(pdf_missing)
+    )
+
+    # ---- image branch: OCR → Catalyst grid extraction ---------------------
+    image_missing = image_spans.join(media_keys, "media_ref", "left_anti")
+    image_matched_refs = image_spans.join(media_keys, "media_ref", "leftsemi")
+    grids = (
+        media.join(F.broadcast(image_spans.select("doc_id", "offset", "media_ref")), "media_ref")
+        .select("doc_id", "offset", "media_ref", "content")
+        .mapInPandas(
+            _ocr_grids,
+            "doc_id string, offset int, media_ref string, "
+            "cells array<struct<row:int,col:int,text:string>>",
+        )
+    )
     records, pages = grid_extract.extract(grids.select("doc_id", "offset", "cells"))
     page_text = (
         records.alias("r")
@@ -277,12 +294,11 @@ def normalize_spans(
             ).alias("lines"),
         )
     )
-    # join from the PRE-kernel span rows, not `grids` — joining grids here
+    # join from the PRE-kernel span refs, not `grids` — joining grids here
     # would evaluate the OCR kernel a second time (it isn't needed: only the
     # span identity is, and pages/page_text carry the decoded results)
     image_out = (
-        image_joined.where(F.col("content").isNotNull())
-        .select("doc_id", "offset", "media_ref")
+        image_matched_refs.select("doc_id", "offset", "media_ref")
         .join(pages.select("doc_id", "offset", "date_info"), ["doc_id", "offset"], "left")
         .join(page_text, ["doc_id", "offset"], "left")
         .select(

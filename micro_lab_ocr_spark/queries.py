@@ -1229,8 +1229,7 @@ def flagship_entry(spark, sf_dir, mult: int | None = None):
                      F.lit("").alias("media_ref"), F.lit(2).alias("offset")),
         ).alias("spans"),
     )
-    media = spark.createDataFrame([], "media_ref string, content binary")
-    return px.normalize_spans(interleaved, media)
+    return px.normalize_spans(interleaved, None)
 
 
 # ===========================================================================

@@ -50,12 +50,24 @@ def get_spark(
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # --- scans -------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # floor the scan split count at 2×cores: on a 100 TB corpus the
+        # 128 MB cap dominates (thousands of splits), but on a small corpus
+        # the default packing collapses to a handful of splits and the
+        # scan-rooted kernel stages idle most of the machine (measured: the
+        # table_html kernel stage ran 16 tasks on 32 cores)
+        .config("spark.sql.files.minPartitionNum", str(2 * parallelism))
         .config("spark.sql.parquet.filterPushdown", "true")
         # --- broadcast join: dimensions (progress master, synonym maps)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- Arrow / pandas-UDF path (the only Python in the plan) -------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 512, not the 10k default: media kernels see ~8 KB binary cells, so
+        # a 4096-row batch materializes ~33 MB per worker per batch — at 16+
+        # concurrent workers that thrashes the shared LLC / memory bus
+        # (measured: 111 s → 56 s wall on the 36k-doc media corpus at
+        # local[16] from this change alone). 512 rows keeps batches ~4 MB
+        # while still amortizing Arrow/IPC overhead for text kernels.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         # deterministic timestamps in tests regardless of host TZ
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))

@@ -149,43 +149,48 @@ def run_scaling_single(parallelism: int) -> dict:
     media = spark.read.parquet(f"{CORPUS_DIR}/media.parquet")
     n_docs = docs.count()
     normalize_spans(docs, media, media_present=True).write.format("noop").mode("overwrite").save()  # warmup
-    t0 = _t.perf_counter()
-    normalize_spans(docs, media, media_present=True).write.format("noop").mode("overwrite").save()
-    wall = _t.perf_counter() - t0
+    walls = []
+    for _ in range(2):  # two timed passes per warm session — denser sampling
+        t0 = _t.perf_counter()
+        normalize_spans(docs, media, media_present=True).write.format("noop").mode("overwrite").save()
+        walls.append(round(_t.perf_counter() - t0, 3))
     spark.stop()
-    return {"cores": parallelism, "wall": round(wall, 3), "docs": n_docs}
+    return {"cores": parallelism, "wall": min(walls), "walls": walls, "docs": n_docs}
+
+
+def _mem_burn(_):
+    import numpy as np
+
+    a = np.random.rand(40_000_000 // 8)
+    t_end = time.time() + 4
+    it = 0
+    while time.time() < t_end:
+        a = a * 1.0000001
+        a[::1000].sum()
+        it += 1
+    return it
+
+
+def _int_burn(_):
+    x, it = 1, 0
+    t_end = time.time() + 4
+    while time.time() < t_end:
+        for _ in range(100000):
+            x = (x * 1103515245 + 12345) % (2**31)
+        it += 1
+    return it
 
 
 def _calibrate(levels: tuple[int, ...]) -> dict:
     """Hardware-ceiling calibration at the protocol's worker counts: a
     cache-resident integer burn (pure-CPU ceiling) and an LLC-busting numpy
     stream (memory-bandwidth ceiling). Run per protocol execution so the MD
-    documents the box the numbers were taken on."""
+    documents the box the numbers were taken on. (Burns are module-level —
+    mp.Pool pickles them by reference.)"""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def mem_burn(_):
-        a = np.random.rand(40_000_000 // 8)
-        t_end = time.time() + 4
-        it = 0
-        while time.time() < t_end:
-            a = a * 1.0000001
-            a[::1000].sum()
-            it += 1
-        return it
-
-    def int_burn(_):
-        x, it = 1, 0
-        t_end = time.time() + 4
-        while time.time() < t_end:
-            for _ in range(100000):
-                x = (x * 1103515245 + 12345) % (2**31)
-            it += 1
-        return it
-
     out = {}
-    for name, fn in (("intcpu", int_burn), ("membw", mem_burn)):
+    for name, fn in (("intcpu", _int_burn), ("membw", _mem_burn)):
         rates = {}
         for w in levels:
             with mp.Pool(w) as p:
@@ -217,7 +222,7 @@ def run_scaling(sf_dir: str) -> None:
     _ensure_media_corpus()
     levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16")
     lo, hi = (int(x) for x in levels.split(","))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
     walls: dict[int, list[float]] = {lo: [], hi: []}
     docs = 0
     for _ in range(reps):

@@ -18,7 +18,13 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Python WORKERS spawn with PYTHONPATH from the environment, not the driver's
+# sys.path — without this, running the job from any other cwd fails inside
+# mapInPandas with ModuleNotFoundError. On a real cluster `spark-submit
+# --py-files dist/micro_lab_ocr_spark.zip` ships the package instead.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:
@@ -36,10 +42,13 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from micro_lab_ocr_spark.pipeline.checkpoint import CheckpointedExtraction
+    from micro_lab_ocr_spark.sources.catalog import read_docs
 
     # on a cluster spark-submit provides master/conf; locally fall back
     spark = SparkSession.builder.appName("micro-lab-ocr-extract").getOrCreate()
-    docs = spark.read.parquet(args.docs)
+    # keep_bucket: when the input carries the catalog bucket layout
+    # (write_docs / Iceberg bucket(N, doc_id)), per-bucket runs partition-prune
+    docs = read_docs(spark, args.docs, keep_bucket=True)
     media = spark.read.parquet(args.media)
 
     ck = CheckpointedExtraction(args.checkpoint, args.output, n_buckets=args.buckets)

@@ -85,10 +85,17 @@ class CheckpointedExtraction:
         (per-bucket output path, overwrite). ``fail_at_bucket`` injects a
         failure for resume tests."""
         from micro_lab_ocr_spark.pipeline.extract import normalize_spans
+        from micro_lab_ocr_spark.sources.catalog import bucket_expr
 
         done = self.done_buckets()
         results: list[BucketLineage] = []
-        bucket_col = F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets))
+        # If the docs table carries the catalog layout's `bucket` partition
+        # column (sources/catalog.write_docs), filtering on it gives
+        # PARTITION PRUNING — each bucket's run scans only its directory
+        # (Iceberg bucket(N, doc_id) metadata pruning on a real cluster).
+        # Otherwise fall back to computing the same hash per row (full scan).
+        pruned = "bucket" in docs.columns
+        bucket_col = F.col("bucket") if pruned else bucket_expr("doc_id", self.n_buckets)
         for bucket in range(self.n_buckets):
             if bucket in done:
                 continue
@@ -96,6 +103,8 @@ class CheckpointedExtraction:
                 raise RuntimeError(f"injected failure at bucket {bucket}")
             t0 = time.perf_counter()
             bucket_docs = docs.where(bucket_col == bucket)
+            if pruned:
+                bucket_docs = bucket_docs.drop("bucket")
             out = normalize_spans(bucket_docs, media)
             path = os.path.join(self.output_dir, f"bucket={bucket}")
             out.write.mode("overwrite").parquet(path)

@@ -46,8 +46,22 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def write_docs(spark: SparkSession, df: DataFrame, path_or_table: str, n_buckets: int = 64) -> None:
-    """Write the interleaved docs table with doc_id bucketing."""
+def bucket_expr(key_col: str, n_buckets: int):
+    """The directory-bucket function — shared with pipeline/checkpoint so
+    resume granularity and partition pruning line up with the written layout
+    (Iceberg's bucket(N, col) plays this role on a real cluster)."""
+    return F.pmod(F.xxhash64(key_col), F.lit(n_buckets))
+
+
+def write_docs(
+    spark: SparkSession,
+    df: DataFrame,
+    path_or_table: str,
+    n_buckets: int = 64,
+    key_col: str = "doc_id",
+) -> None:
+    """Write a table bucketed on ``key_col`` (docs on doc_id; the media table
+    uses media_ref)."""
     if iceberg_available(spark):
         spark.sql(
             ICEBERG_DOCS_DDL.format(catalog="spark_catalog", db="default", n_buckets=n_buckets)
@@ -56,7 +70,7 @@ def write_docs(spark: SparkSession, df: DataFrame, path_or_table: str, n_buckets
         return
     # parquet fallback: directory bucketing by the same hash
     (
-        df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+        df.withColumn("bucket", bucket_expr(key_col, n_buckets))
         .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -64,8 +78,14 @@ def write_docs(spark: SparkSession, df: DataFrame, path_or_table: str, n_buckets
     )
 
 
-def read_docs(spark: SparkSession, path_or_table: str) -> DataFrame:
+def read_docs(spark: SparkSession, path_or_table: str, keep_bucket: bool = False) -> DataFrame:
+    """Read a table written by :func:`write_docs`. ``keep_bucket=True``
+    retains the directory-partition column so callers (the checkpoint
+    runner) can filter on it and get PARTITION PRUNING instead of a full
+    scan per bucket."""
     if path_or_table.startswith(("spark_catalog.", "iceberg.")):
         return spark.read.table(path_or_table)
     df = spark.read.parquet(path_or_table)
-    return df.drop("bucket") if "bucket" in df.columns else df
+    if keep_bucket or "bucket" not in df.columns:
+        return df
+    return df.drop("bucket")

@@ -60,6 +60,34 @@ def test_checkpoint_resume(spark, small_corpus, tmp_path):
         assert got[d["doc_id"]] == ox.normalize_document(d["doc_id"], d["spans"], media_map)
 
 
+def test_checkpoint_over_bucketed_catalog_layout(spark, small_corpus, tmp_path):
+    """catalog.write_docs layout → checkpoint filters on the partition column
+    (scan pruning, not a full-corpus hash filter per bucket) and the resumed
+    output still matches the oracle."""
+    from micro_lab_ocr_spark.sources import catalog
+
+    docs, media, docs_df, media_df = small_corpus
+    path = str(tmp_path / "docs_bucketed")
+    catalog.write_docs(spark, docs_df, path, n_buckets=4)
+    bucketed = catalog.read_docs(spark, path, keep_bucket=True)
+    assert "bucket" in bucketed.columns
+
+    # partition pruning is visible in the scan
+    one = bucketed.where(F.col("bucket") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+    ck = CheckpointedExtraction(str(tmp_path / "ck2"), str(tmp_path / "out2"), n_buckets=4)
+    results = ck.run(spark, bucketed, media_df, snapshot_id="snap2")
+    assert len(results) == 4
+    out = spark.read.parquet(str(tmp_path / "out2"))
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in out.collect()}
+    media_map = {m["media_ref"]: m["content"] for m in media}
+    assert set(got) == {d["doc_id"] for d in docs}
+    for d in docs:
+        assert got[d["doc_id"]] == ox.normalize_document(d["doc_id"], d["spans"], media_map)
+
+
 def test_salting_marks_heavy_docs(spark):
     from micro_lab_ocr_spark.operators.salting import salt_spans
 

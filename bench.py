@@ -222,10 +222,13 @@ def run_scaling(sf_dir: str) -> None:
     _ensure_media_corpus()
     levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16")
     lo, hi = (int(x) for x in levels.split(","))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     walls: dict[int, list[float]] = {lo: [], hi: []}
     docs = 0
-    for _ in range(reps):
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    cal = _calibrate((lo, hi))
+    samples_path = os.path.join(REPO, "BENCH", "scaling_samples.jsonl")
+    for rep in range(reps):
         for n in (lo, hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--single-scaling", str(n)],
@@ -234,19 +237,32 @@ def run_scaling(sf_dir: str) -> None:
                 timeout=3600,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            walls[n].append(r["wall"])
+            walls[n].extend(r.get("walls", [r["wall"]]))
             docs = r["docs"]
+            with open(samples_path, "a") as f:
+                f.write(json.dumps({"rep": rep, **r}) + "\n")
+        # regenerate the report after every rep — a killed run still leaves
+        # a valid BASELINE.md reflecting all samples so far
+        _write_scaling_md(lo, hi, walls, docs, cal, rep + 1)
+    eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "t_lo": min(walls[lo]), "t_hi": min(walls[hi]),
+                      "lo": lo, "hi": hi, "docs": docs, "calibration": cal,
+                      "walls_lo": walls[lo], "walls_hi": walls[hi]}))
+
+
+def _write_scaling_md(lo, hi, walls, docs, cal, reps_done) -> None:
     t_lo = min(walls[lo])
     t_hi = min(walls[hi])
     eff = (t_lo / t_hi) / (hi / lo)
-    cal = _calibrate((lo, hi))
     md = f"""# BENCH/BASELINE — scaling protocol results
 
 Same job (full interleaved extraction: text/html/table_html/image/pdf spans →
 normalized spans, incl. the OCR grid path; media bytes never enter a shuffle)
 over the same materialized fixture corpus ({docs} docs with media), two
 parallelism levels — the sandbox stand-in for N vs 4N executors
-(BASELINE.md protocol). Reps interleaved, min-of-{reps} per level.
+(BASELINE.md protocol). Reps interleaved ({reps_done} done, 2 timed passes
+per warm session), min wall per level.
 
 | parallelism | wall (s) | docs/sec | docs/sec/core |
 |---|---|---|---|
@@ -281,12 +297,8 @@ calibration efficiencies. Shuffle partitions scale with the core count
 Arrow + shuffle the measured costs — the components the scaling criterion is
 actually about.
 """
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"scaling_efficiency": round(eff, 3), "t_lo": t_lo, "t_hi": t_hi,
-                      "lo": lo, "hi": hi, "docs": docs, "calibration": cal,
-                      "walls_lo": walls[lo], "walls_hi": walls[hi]}))
 
 
 if __name__ == "__main__":

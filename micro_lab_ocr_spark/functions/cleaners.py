@@ -107,12 +107,23 @@ def split_merged_cells(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def pystrip(col: Column) -> Column:
+    """Python ``str.strip()`` semantics (ASCII whitespace at both ends,
+    incl. \\r\\t) — the reference strips with str.strip() throughout, while
+    Spark's F.trim removes ONLY spaces and would diverge on '\\r'/'\\t' ends."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def remove_noise(col: Column) -> Column:
     c = F.regexp_replace(col, r":selected:|:unselected:", "")
     # translate() deletes chars mapped to nothing: " ' ° €
     c = F.translate(c, "\"'°€", "")
+    # ONLY '\n' is replaced (`backend_preservation.py:1270-1271`) — '\r'
+    # survives mid-string. The final strip is Python str.strip() in the
+    # reference, which eats ALL ASCII whitespace at the ends (incl. \r\t),
+    # not just spaces — F.trim would diverge on a trailing '\r'.
     c = F.regexp_replace(c, r"\n", " ")
-    c = F.trim(c)
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(col.isNull() | (col == ""), col).otherwise(c)
 
 
@@ -123,7 +134,7 @@ def remove_noise(col: Column) -> Column:
 
 
 def fix_less_than_10(col: Column) -> Column:
-    v = F.trim(col)
+    v = pystrip(col)
     return (
         F.when(col.isNull() | (col == ""), col)
         .when(v.isin(banks.MEANINGLESS_LITERALS), F.lit(""))
@@ -156,7 +167,7 @@ def fix_less_than_10(col: Column) -> Column:
 
 
 def normalize_scientific(col: Column) -> Column:
-    v = F.translate(F.trim(col), "Xx", "××")
+    v = F.translate(pystrip(col), "Xx", "××")
     prefix = (
         F.when(v.startswith("<"), F.lit("<"))
         .when(v.startswith("≤"), F.lit("≤"))
@@ -185,7 +196,7 @@ def normalize_scientific(col: Column) -> Column:
 
 
 def fix_7day_ambiguous(cleaned: Column, original: Column) -> Column:
-    orig = F.trim(original)
+    orig = pystrip(original)
     clear = sorted({p for pat in banks.CLEAR_LT10_ORIGINALS for p in (pat, pat.replace(" ", ""))})
     is_ambiguous = F.lit(False)
     for pat in banks.AMBIGUOUS_LT10_ORIGINALS:
@@ -254,7 +265,7 @@ def strain_rank(col: Column) -> Column:
 
 
 def extract_judgment(col: Column) -> Column:
-    v = F.upper(F.trim(col))
+    v = F.upper(pystrip(col))
     fail = F.lit(False)
     for ch in banks.JUDGMENT_FAIL_CHARS:
         fail = fail | v.contains(ch)

@@ -68,11 +68,11 @@ def minhash_lsh_pairs(
     bytes, never enter a shuffle. Bucket sizes are counted over a
     (bucket)-only projection, oversized keys (a tiny set) broadcast
     anti-join the exploded rows, the self-join produces BARE id pairs which
-    dedupe before anything wide re-attaches, and exact-Jaccard verification
-    re-derives shingle overlaps for candidate pairs only (texts re-attached
-    via two scan-side broadcast hash joins). The tiny (id, bucket) frame is
-    persisted because three consumers branch from it; on a real cluster that
-    materialization is a checkpoint-table write.
+    dedupe (and eagerly materialize — releasing the exploded frame) before
+    anything wide re-attaches, and exact-Jaccard verification re-derives
+    shingle overlaps for candidate pairs only: the bare pairs broadcast onto
+    the doc scan twice (texts are never broadcast), and the two
+    candidate-sized one-text frames equi-join on the pair key.
     """
     idtype = docs.schema[id_col].dataType.simpleString()
     # NB no pre-kernel repartition: the signature kernel is a map-side pass
@@ -102,17 +102,28 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # bare id pairs — eagerly materialized so (a) the band self-join runs
+        # exactly once even though two verify joins consume `cand`, and (b)
+        # the exploded (id,bucket) frame can be released immediately. On a
+        # real cluster this materialization is a checkpoint-table write.
+        .localCheckpoint(eager=True)
     )
-    # verify: broadcast the bare candidate pairs back onto the doc texts (two
-    # scan-side hash joins, no corpus shuffle), set-overlap sizes in one
-    # kernel, jaccard division + rounding in Catalyst (SQL-oracle parity)
+    ex.unpersist()
+    # verify: broadcast the BARE candidate pairs (never the texts) onto the
+    # doc scan twice — each side picks up one text scan-side, then the two
+    # candidate-sized frames equi-join on the pair key. Document texts are
+    # never broadcast (a pair set's texts can exceed driver memory at 100 TB)
+    # and the corpus never shuffles — only candidate rows do.
     slim = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    a_txt = slim.select(F.col("id").alias("id_a"), F.col("text").alias("text_a")).join(
-        F.broadcast(cand), "id_a"
+    a_txt = (
+        slim.join(F.broadcast(cand), F.col("id") == F.col("id_a"))
+        .select("id_a", "id_b", F.col("text").alias("text_a"))
     )
-    withtexts = slim.select(F.col("id").alias("id_b"), F.col("text").alias("text_b")).join(
-        F.broadcast(a_txt), "id_b"
+    b_txt = (
+        slim.join(F.broadcast(cand), F.col("id") == F.col("id_b"))
+        .select("id_a", "id_b", F.col("text").alias("text_b"))
     )
+    withtexts = a_txt.join(b_txt, ["id_a", "id_b"])
     overlaps = withtexts.select("id_a", "id_b", "text_a", "text_b").mapInPandas(
         TH.make_pair_overlap_kernel(shingle_k),
         f"id_a {idtype}, id_b {idtype}, inter long, un long",
@@ -138,13 +149,18 @@ def ngram_jaccard_pairs(
     theta predicate (|len_a − len_b| ≤ band·len_a) would plan as a
     BroadcastNestedLoopJoin (O(n²) pair evaluation); instead each doc gets a
     log-scale length block ``floor(ln len / ln(1+band))`` and the a-side is
-    replicated to the 4 block offsets (−2…+1) that can contain a qualifying
-    partner — proof: len_b ∈ [(1−band)·len_a, (1+band)·len_a] maps to blocks
-    within [blk_a−2, blk_a+1] for band=0.2. The join is then a plain equi
+    replicated to the block offsets that can contain a qualifying partner —
+    proof: len_b ∈ [(1−band)·len_a, (1+band)·len_a] ⇒ blk_b ∈
+    [blk_a + floor(ln(1−band)/ln(1+band)), blk_a + 1] (floor(x+d) ≥
+    floor(x)+floor(d) for the lower bound; floor(x+1) = floor(x)+1 for the
+    upper). The offset range is DERIVED from ``length_band`` — for band=0.2
+    that's −2…+1 (4 replicas). The join is then a plain equi
     hash join on the block key with the exact predicate as a post-filter —
     the result set is IDENTICAL to the brute form (blocking is a superset),
     so the DuckDB oracle keeps the simple theta formulation.
     """
+    if not 0.0 < length_band < 1.0:
+        raise ValueError(f"length_band must be in (0, 1), got {length_band}")
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     log_base = math.log(1.0 + length_band)
     base = (
@@ -159,8 +175,11 @@ def ngram_jaccard_pairs(
             "blk", F.floor(F.log(F.col("len").cast("double")) / F.lit(log_base)).cast("int")
         )
     )
+    # lower offset = floor(ln(1-band)/ln(1+band)) — hardcoding −2 would
+    # silently lose qualifying pairs for any band > ~0.618
+    off_min = math.floor(math.log(1.0 - length_band) / log_base)
     a = base.withColumn(
-        "blk_probe", F.explode(F.array(*[F.col("blk") + o for o in (-2, -1, 0, 1)]))
+        "blk_probe", F.explode(F.array(*[F.col("blk") + o for o in range(off_min, 2)]))
     ).alias("a")
     b = base.alias("b")
     return (

@@ -440,6 +440,13 @@ def parse_date_multi(value: str) -> str:
     deliberately omitted."""
     if not value:
         return ""
+    # strptime compiles \d WITHOUT re.ASCII, so non-ASCII Unicode digits
+    # (e.g. Arabic-Indic '٣ ٤') would parse here while the Catalyst chain's
+    # ASCII regexes return '' — reject non-ASCII DIGITS so oracle and Spark
+    # agree (the Korean 월/일 literals themselves stay in scope; non-ASCII
+    # digit dates are a documented restriction).
+    if any(ch.isdigit() and not ch.isascii() for ch in value):
+        return ""
     for fmt in _F16_FORMATS:
         try:
             return datetime.strptime(value, fmt).strftime("%Y-%m-%d")

@@ -29,6 +29,26 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _layout_bucket_count(docs: DataFrame) -> int | None:
+    """Bucket count of the directory-bucketed layout a scan reads, from the
+    driver-side file listing (metadata only — no job). None when the paths
+    carry no ``bucket=N`` partition directories (e.g. the column was computed
+    in-flight), in which case the caller must not trust the column."""
+    import re
+
+    buckets = set()
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return None
+    for f in files:
+        m = re.search(r"/bucket=(\d+)/", f)
+        if not m:
+            return None
+        buckets.add(int(m.group(1)))
+    return (max(buckets) + 1) if buckets else None
+
+
 @dataclass
 class BucketLineage:
     bucket: int
@@ -93,9 +113,30 @@ class CheckpointedExtraction:
         # column (sources/catalog.write_docs), filtering on it gives
         # PARTITION PRUNING — each bucket's run scans only its directory
         # (Iceberg bucket(N, doc_id) metadata pruning on a real cluster).
-        # Otherwise fall back to computing the same hash per row (full scan).
+        # The layout's bucket count may DIFFER from this checkpoint's
+        # n_buckets (write_docs defaults to 64, jobs default to 16):
+        # trusting `bucket == b` for b in range(n_buckets) would then
+        # silently drop every doc in layout buckets >= n_buckets while
+        # recording DONE checkpoints. Detect the layout width from the scan's
+        # file listing; when it is a multiple of n_buckets, pmod folds each
+        # layout bucket onto exactly one checkpoint bucket (h mod KN mod N =
+        # h mod N) and the filter STAYS a partition-prunable expression of
+        # the partition column; otherwise fall back to re-hashing doc_id
+        # (full scan per bucket, but correct).
         pruned = "bucket" in docs.columns
-        bucket_col = F.col("bucket") if pruned else bucket_expr("doc_id", self.n_buckets)
+        layout_n = _layout_bucket_count(docs) if pruned else None
+        if pruned and layout_n == self.n_buckets:
+            bucket_col = F.col("bucket")
+        elif pruned and layout_n is not None and layout_n % self.n_buckets == 0:
+            bucket_col = F.pmod(F.col("bucket"), F.lit(self.n_buckets))
+        else:
+            pruned = False
+            bucket_col = bucket_expr("doc_id", self.n_buckets)
+        if "bucket" in docs.columns and not pruned:
+            docs = docs.drop("bucket")
+        # probe the media side ONCE — normalize_spans would otherwise fire a
+        # driver-side isEmpty() action per bucket (16+ eager scans per job)
+        media_present = media is not None and not media.isEmpty()
         for bucket in range(self.n_buckets):
             if bucket in done:
                 continue
@@ -105,7 +146,7 @@ class CheckpointedExtraction:
             bucket_docs = docs.where(bucket_col == bucket)
             if pruned:
                 bucket_docs = bucket_docs.drop("bucket")
-            out = normalize_spans(bucket_docs, media)
+            out = normalize_spans(bucket_docs, media, media_present=media_present)
             path = os.path.join(self.output_dir, f"bucket={bucket}")
             out.write.mode("overwrite").parquet(path)
             written = spark.read.parquet(path)

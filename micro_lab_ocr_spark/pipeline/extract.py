@@ -240,6 +240,10 @@ def normalize_spans(
             other_out, salt_buckets=salt_buckets,
         )
 
+    # A media row with NULL content is a dangling ref: the decode kernels
+    # must never see it (bytes(None) would fail the whole job) — the span
+    # passes through unchanged via the *_missing arms, never lost.
+    media = media.where(F.col("content").isNotNull())
     media_keys = F.broadcast(media.select("media_ref"))  # pruned key scan
 
     # ---- pdf branch: DRM detect → XY-cut layout kernel --------------------

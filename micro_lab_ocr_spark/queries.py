@@ -742,17 +742,29 @@ CASE WHEN {v} IS NULL OR {v} = '' THEN {v}
 
 
 def _sql_remove_noise(v: str) -> str:
+    # NB only chr(10) is replaced: the reference replaces ONLY '\n'
+    # (`backend_preservation.py:1270-1271`) — '\r' survives mid-string.
+    # The final strip mirrors Python str.strip(): ALL ASCII whitespace at
+    # the ends (space \t \n \v \f \r), not DuckDB trim()'s spaces-only.
+    ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
     inner = (
-        f"trim(replace(replace(replace(replace(replace(replace("
+        f"trim(replace(replace(replace(replace(replace("
         f"regexp_replace({v}, ':selected:|:unselected:', '', 'g'),"
-        f" '\"', ''), '''', ''), '°', ''), '€', ''), chr(10), ' '), chr(13), ' '))"
+        f" '\"', ''), '''', ''), '°', ''), '€', ''), chr(10), ' '), {ws})"
     )
     return f"CASE WHEN {v} IS NULL OR {v} = '' THEN {v} ELSE {inner} END"
 
 
+def _sql_strip(v: str) -> str:
+    """Python str.strip() semantics in DuckDB: trim ALL ASCII whitespace at
+    the ends (space \\t \\n \\v \\f \\r), matching the reference's str.strip()
+    and the Catalyst pystrip — DuckDB's 1-arg trim is spaces-only."""
+    return f"trim({v}, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+
+
 def _sql_fix_lt10(v: str) -> str:
     """F6 CASE chain, tier order identical to the oracle/Catalyst versions."""
-    t = f"trim({v})"
+    t = _sql_strip(v)
     tiers = [
         (f"{_sql_in(t, banks.MEANINGLESS_LITERALS)}", "''"),
         (f"{_sql_in(t, banks.LESS_THAN_10_LITERALS)}", "'<10'"),
@@ -783,7 +795,7 @@ CASE WHEN {v} IS NULL OR {v} = '' THEN {v}
 
 
 def _sql_normalize_sci(v: str) -> str:
-    t = f"replace(replace(trim({v}), 'X', '×'), 'x', '×')"
+    t = f"replace(replace({_sql_strip(v)}, 'X', '×'), 'x', '×')"
     prefix = (
         f"CASE WHEN starts_with({t}, '<') THEN '<' "
         f"WHEN starts_with({t}, '≤') THEN '≤' ELSE '' END"
@@ -802,11 +814,11 @@ CASE WHEN {v} IS NULL OR {v} = '' THEN {v}
 
 def _sql_fix_7day(v: str, orig: str) -> str:
     clear = sorted({p for pat in banks.CLEAR_LT10_ORIGINALS for p in (pat, pat.replace(" ", ""))})
-    amb = " OR ".join(f"contains(trim({orig}), {_q(p)})" for p in banks.AMBIGUOUS_LT10_ORIGINALS)
+    amb = " OR ".join(f"contains({_sql_strip(orig)}, {_q(p)})" for p in banks.AMBIGUOUS_LT10_ORIGINALS)
     return f"""
 CASE WHEN contains({v}, '^') THEN {v}
      WHEN {v} != '<10' THEN {v}
-     WHEN {_sql_in(f'trim({orig})', clear)} THEN '<10'
+     WHEN {_sql_in(_sql_strip(orig), clear)} THEN '<10'
      WHEN {amb} THEN '<10^2'
      ELSE '<10' END"""
 
@@ -822,6 +834,9 @@ _CFU_RAW = (
         "<10?", "< cion", "1", "103", "2 <10", "SI02 2", "( 102", "5/02",
         ":selected:40", "≤3", "5.5 × 10 5", "1.0×103", "9.9X10^9", "45102",
         '" <10', "hello",
+        # \r-bearing forms: the reference strips only '\n' — a mid-string
+        # '\r' must SURVIVE remove_noise (round-2 oracle drift regression)
+        "5.5\rX105", "<10\r", "\r2.0\n×102\r",
     ]
 )
 
@@ -1523,8 +1538,8 @@ def f13_judgment(spark, sf_dir):
 def _f13_sql() -> str:
     lits = ", ".join(_q(s) for s in _JUDGMENT_INPUTS)
     fail = " OR ".join(
-        [f"contains(upper(trim(raw)), {_q(c)})" for c in banks.JUDGMENT_FAIL_CHARS]
-        + [f"contains(upper(trim(raw)), '부적합')"]
+        [f"contains(upper({_sql_strip('raw')}), {_q(c)})" for c in banks.JUDGMENT_FAIL_CHARS]
+        + [f"contains(upper({_sql_strip('raw')}), '부적합')"]
     )
     return f"""
 WITH base AS (

@@ -114,3 +114,55 @@ def test_salted_reassembly_matches_oracle(spark, small_corpus):
     media_map = {m["media_ref"]: m["content"] for m in media}
     for d in docs:
         assert got[d["doc_id"]] == ox.normalize_document(d["doc_id"], d["spans"], media_map)
+
+
+def _oracle_check(spark, out_path, docs, media):
+    out = spark.read.parquet(out_path)
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in out.collect()}
+    media_map = {m["media_ref"]: m["content"] for m in media}
+    assert set(got) == {d["doc_id"] for d in docs}
+    for d in docs:
+        assert got[d["doc_id"]] == ox.normalize_document(d["doc_id"], d["spans"], media_map)
+
+
+@pytest.mark.parametrize("layout_n", [8, 6])
+def test_checkpoint_layout_bucket_mismatch_no_data_loss(
+    spark, small_corpus, tmp_path, layout_n
+):
+    """Layout written with MORE buckets than the checkpoint's n_buckets must
+    not silently drop docs in layout buckets >= n_buckets (round-2 advisory,
+    high). layout_n=8 exercises the divisible pmod-fold (still partition-
+    prunable); layout_n=6 the re-hash fallback."""
+    from micro_lab_ocr_spark.sources import catalog
+
+    docs, media, docs_df, media_df = small_corpus
+    path = str(tmp_path / f"docs_l{layout_n}")
+    catalog.write_docs(spark, docs_df, path, n_buckets=layout_n)
+    bucketed = catalog.read_docs(spark, path, keep_bucket=True)
+
+    ck = CheckpointedExtraction(
+        str(tmp_path / f"ck_l{layout_n}"), str(tmp_path / f"out_l{layout_n}"), n_buckets=4
+    )
+    results = ck.run(spark, bucketed, media_df, snapshot_id="snapX")
+    assert sum(r.n_docs for r in results) == len(docs)
+    _oracle_check(spark, str(tmp_path / f"out_l{layout_n}"), docs, media)
+
+
+def test_checkpoint_single_media_probe(spark, small_corpus, tmp_path, monkeypatch):
+    """The media isEmpty() probe must fire once per job, not once per bucket
+    (round-2 verdict item 4)."""
+    docs, media, docs_df, media_df = small_corpus
+    # patch the CONCRETE class (Spark 4's classic DataFrame overrides the
+    # pyspark.sql.DataFrame base method, so patching the base misses)
+    cls = type(media_df)
+    calls = {"n": 0}
+    orig = cls.isEmpty
+
+    def counted(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "isEmpty", counted)
+    ck = CheckpointedExtraction(str(tmp_path / "ck_p"), str(tmp_path / "out_p"), n_buckets=4)
+    ck.run(spark, docs_df, media_df, snapshot_id="snapP")
+    assert calls["n"] == 1

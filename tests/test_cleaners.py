@@ -34,6 +34,9 @@ CFU_CORPUS = (
         "512", "510", "90", "410", "4102 ", " 40 ", "Multi <10 < 10\"",
         "행", "균주", "5.5×10^5 6.6×10^6",
         'CIÒ"', "<6.1 × 100 x", "8.7X105", "5.1×105", "(10", "C102",
+        # \r-bearing forms: the reference strips only '\n' mid-string but its
+        # final str.strip() eats \r\t at the ENDS — all three impls must agree
+        "5.5\rX105", "<10\r", "\r2.0\n×102\r", "\t<10\t", "a\rb",
     ]
 )
 
@@ -288,6 +291,10 @@ def test_f16_parse_date_multi_parity(spark):
         "02 29", "2/30", "31/04", "29 02",   # invalid dates → ''
         "30/04", "31/01",
         "00 10", "13 13", "asdf", "", "05 15 extra", "  ", "5  7",
+        # non-ASCII Unicode digits: strptime's \d would accept these but the
+        # Catalyst ASCII regexes don't — the oracle now rejects them too
+        # (documented restriction, round-2 advisory)
+        "٣ ٤", "３ ４", "٣/٤",
     ]
     df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, v string")
     got = {

@@ -183,3 +183,28 @@ def test_grid_records_parity_targeted(spark):
         if got_dates.get(doc, {}) != exp_dates:
             bad.append((doc, "dates", got_dates.get(doc), exp_dates))
     assert not bad, f"{len(bad)} grid mismatches; first: {bad[:2]}"
+
+
+def test_null_content_media_pass_through(spark):
+    """A media row with NULL content is a dangling ref: the decode kernels
+    must never see it (bytes(None) would kill the job) and the span passes
+    through unchanged — never lost."""
+    docs = [{"doc_id": "n", "spans": [
+        {"kind": "image", "text": "orig-img", "media_ref": "m://n/0", "offset": 0},
+        {"kind": "pdf", "text": "orig-pdf", "media_ref": "m://n/1", "offset": 1},
+        {"kind": "text", "text": "hello", "media_ref": "", "offset": 2}]}]
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame(
+        [("m://n/0", None), ("m://n/1", None)], MEDIA_SCHEMA
+    )
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+           for r in px.normalize_spans(docs_df, media_df).collect()}
+    # oracle semantics: null content == ref absent from the media map
+    expected = ox.normalize_document("n", docs[0]["spans"], {})
+    assert got["n"] == expected
+    assert got["n"][0] == {"kind": "image", "text": "orig-img", "media_ref": "m://n/0", "offset": 0}
+    assert got["n"][1] == {"kind": "pdf", "text": "orig-pdf", "media_ref": "m://n/1", "offset": 1}

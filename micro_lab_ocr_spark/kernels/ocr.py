@@ -10,9 +10,11 @@ OCR-noise is injected at the *text* level before rendering, so this kernel's
 job is faithful segmentation + decoding and the cleaning banks do the
 correction work downstream.
 
-Real image decode (PNG/JPEG) is stubbed behind an import-try: the container
-ships no imaging libraries. The Spark-side plumbing (binary column → Arrow
-batch → grid struct) is identical for real rasters.
+Real PNG bytes decode through the pure-stdlib codec in kernels/png.py (zlib
+inflate + scanline unfiltering) and then ride the SAME binarize→segment→
+decode path as the fixture raster — the Spark-side plumbing (binary column →
+Arrow batch → grid struct) is shared. JPEG stays an import-guarded stub (a
+DCT decoder needs an imaging library this container doesn't ship).
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from micro_lab_ocr_spark.kernels import png as _png
 
 # ---------------------------------------------------------------------------
 # 5×7 bitmap font over the grid alphabet. Rows are 5-bit integers, MSB = left.
@@ -256,6 +260,13 @@ def render_lines_image(lines: list[str]) -> bytes:
     return MAGIC + struct.pack("<II", width, height) + bits.tobytes()
 
 
+def mlimg_bits(data: bytes) -> np.ndarray:
+    """MLIMG raster bytes → 1-bit ink bitmap (H, W)."""
+    width, height = struct.unpack("<II", data[5:13])
+    bits = np.unpackbits(np.frombuffer(data[13:], dtype=np.uint8))[: width * height]
+    return bits.reshape(height, width).copy()
+
+
 # ---------------------------------------------------------------------------
 # recognition (engine side)
 # ---------------------------------------------------------------------------
@@ -313,12 +324,19 @@ def decode_image(data: bytes) -> list[tuple[int, int, str]]:
     ruled lines (ink in ≥90% of a column) delimit grid columns, so sparse
     cells keep their true column index; within a cell, inter-glyph gaps are
     run-length decoded into spaces.
+
+    Containers: the MLIMG fixture raster (1-bit, pre-binarized) and REAL PNG
+    bytes (stdlib codec in kernels/png.py; greyscale binarized at 128 — the
+    reference's scans are black-on-white). The recognition path downstream of
+    binarization is identical for both.
     """
-    if not data.startswith(MAGIC):
-        raise ValueError("not a MLIMG raster")
-    width, height = struct.unpack("<II", data[5:13])
-    bits = np.unpackbits(np.frombuffer(data[13:], dtype=np.uint8))[: width * height]
-    img = bits.reshape(height, width).copy()
+    if data.startswith(_png.PNG_MAGIC):
+        img = (_png.decode_png(data) < 128).astype(np.uint8)
+    elif data.startswith(MAGIC):
+        img = mlimg_bits(data)
+    else:
+        raise ValueError("not a decodable raster (MLIMG or PNG)")
+    height = img.shape[0]
 
     # --- rule detection: near-full-height vertical ink lines --------------
     rule_mask = img.sum(axis=0) >= 0.9 * height
@@ -366,13 +384,17 @@ def decode_image(data: bytes) -> list[tuple[int, int, str]]:
 
 
 def decode_real_image(data: bytes) -> list[tuple[int, int, str]]:  # pragma: no cover
-    """Decode a real PNG/JPEG raster. STUB: the container has no imaging
-    libraries; on a production cluster, install pillow/opencv and binarize
-    here — the downstream plumbing (grid schema, batching) is unchanged."""
+    """Decode a real raster. PNG is handled natively by :func:`decode_image`
+    (stdlib codec, kernels/png.py). JPEG remains a STUB: a DCT decoder needs
+    an imaging library this container doesn't ship; on a production cluster,
+    install pillow/opencv and binarize here — the downstream plumbing (grid
+    schema, batching) is unchanged."""
+    if data.startswith(_png.PNG_MAGIC):
+        return decode_image(data)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "real-image decode requires an imaging library not present in this environment"
+            "JPEG decode requires an imaging library not present in this environment"
         ) from exc
     raise NotImplementedError("wire PIL-based binarization here")

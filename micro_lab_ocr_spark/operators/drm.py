@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 PDF_MAGIC = b"%PDF"
 MLPDF_MAGIC = b"MLPDF"
+MLIMG_MAGIC = b"MLIMG"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 ENCRYPT_FLAG = b"/Encrypt"
 
 
@@ -58,4 +60,15 @@ def is_decodable(content: Column) -> Column:
     pymupdf installed, add ``startswith('%PDF') & ~is_drm`` here)."""
     return F.when(content.isNull(), F.lit(False)).otherwise(
         F.startswith(content, F.lit(MLPDF_MAGIC))
+    )
+
+
+def is_decodable_image(content: Column) -> Column:
+    """Routing predicate for the OCR kernel: rasters this build decodes —
+    the MLIMG fixture container and real PNG (stdlib codec, kernels/png.py).
+    Anything else (JPEG, junk bytes) passes through unchanged rather than
+    crashing the decode stage."""
+    return F.when(content.isNull(), F.lit(False)).otherwise(
+        F.startswith(content, F.lit(MLIMG_MAGIC))
+        | F.startswith(content, F.lit(PNG_MAGIC))
     )

@@ -12,6 +12,7 @@ from micro_lab_ocr_spark import banks, spanspec
 from micro_lab_ocr_spark.kernels import html as html_kernel
 from micro_lab_ocr_spark.kernels import ocr as ocr_kernel
 from micro_lab_ocr_spark.kernels import pdf as pdf_kernel
+from micro_lab_ocr_spark.kernels import png as png_kernel
 from micro_lab_ocr_spark.oracle import cleaners as oc
 
 # ===========================================================================
@@ -357,14 +358,29 @@ def normalize_document(doc_id: str, spans: list[dict], media: dict[str, bytes]) 
             out.append(
                 {"kind": "table", "text": spanspec.serialize_table(date_info, records), "media_ref": ""}
             )
-        elif kind == "image" and ref in media:
+        elif (
+            kind == "image"
+            and ref in media
+            and media[ref] is not None
+            and (
+                media[ref].startswith(ocr_kernel.MAGIC)
+                or media[ref].startswith(png_kernel.PNG_MAGIC)
+            )
+        ):
+            # only rasters the OCR kernel decodes (MLIMG fixture container or
+            # real PNG); other bytes fall to the pass-through arm
             grid = grid_from_cells(ocr_kernel.decode_image(media[ref]))
             date_info = oc.extract_date_info_from_grid(grid)
             records = extract_grid_records(grid)
             out.append(
                 {"kind": "table", "text": spanspec.serialize_table(date_info, records), "media_ref": ref}
             )
-        elif kind == "pdf" and ref in media and media[ref].startswith(pdf_kernel.MAGIC):
+        elif (
+            kind == "pdf"
+            and ref in media
+            and media[ref] is not None
+            and media[ref].startswith(pdf_kernel.MAGIC)
+        ):
             # S2: only decodable containers are parsed; DRM-flagged (%PDF +
             # /Encrypt) or headerless bytes fall to the pass-through arm
             # (`drm_utils.py:19-134`; S3 decrypt is an external non-goal)

@@ -264,10 +264,23 @@ def normalize_spans(
     )
 
     # ---- image branch: OCR → Catalyst grid extraction ---------------------
+    # Only decodable rasters (MLIMG fixture container or real PNG — stdlib
+    # codec) reach the OCR kernel; other bytes (JPEG, junk) pass through
+    # unchanged like dangling refs — a 10^12-doc run must not crash on one
+    # undecodable blob.
+    img_decodable = drm.is_decodable_image(F.col("content"))
     image_missing = image_spans.join(media_keys, "media_ref", "left_anti")
-    image_matched_refs = image_spans.join(media_keys, "media_ref", "leftsemi")
+    image_undecodable = (
+        media.where(~img_decodable)
+        .select("media_ref")
+        .join(F.broadcast(image_spans), "media_ref")
+        .select(*span_cols)
+    )
+    decodable_keys = F.broadcast(media.where(img_decodable).select("media_ref"))
+    image_matched_refs = image_spans.join(decodable_keys, "media_ref", "leftsemi")
     grids = (
-        media.join(F.broadcast(image_spans.select("doc_id", "offset", "media_ref")), "media_ref")
+        media.where(img_decodable)
+        .join(F.broadcast(image_spans.select("doc_id", "offset", "media_ref")), "media_ref")
         .select("doc_id", "offset", "media_ref", "content")
         .mapInPandas(
             _ocr_grids,
@@ -313,6 +326,7 @@ def normalize_spans(
             "media_ref",
         )
         .unionByName(image_missing)
+        .unionByName(image_undecodable)
     )
 
     return _assemble(

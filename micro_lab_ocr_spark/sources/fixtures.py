@@ -14,6 +14,7 @@ import random
 from micro_lab_ocr_spark import banks
 from micro_lab_ocr_spark.kernels import ocr as ocr_kernel
 from micro_lab_ocr_spark.kernels import pdf as pdf_kernel
+from micro_lab_ocr_spark.kernels import png as png_kernel
 
 WORDS = (
     "spark shuffle partition broadcast catalyst tungsten arrow batch column row "
@@ -343,7 +344,12 @@ def generate_corpus(
                 ref = f"m://{doc_id}/{media_n}"
                 media_n += 1
                 grid = make_grid(rng)
-                media.append({"media_ref": ref, "content": ocr_kernel.render_grid_image(grid)})
+                raster = ocr_kernel.render_grid_image(grid)
+                if rng.random() < 0.3:
+                    # real-PNG variant: same page content as actual PNG bytes
+                    # (stdlib codec) — exercises the real-raster decode path
+                    raster = png_kernel.bitmap_to_png(ocr_kernel.mlimg_bits(raster))
+                media.append({"media_ref": ref, "content": raster})
                 spans.append({"kind": "image", "text": "", "media_ref": ref, "offset": off})
             else:
                 ref = f"m://{doc_id}/{media_n}"

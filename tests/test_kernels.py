@@ -94,3 +94,67 @@ def test_xy_cut_single_column_order():
         {"x0": 0, "x1": 500, "y0": 240, "y1": 290, "text": "C"},
     ]
     assert pk.layout_text(pk.encode_pdf(blocks)) == "A\nB\nC"
+
+
+def test_png_codec_roundtrip():
+    """Stdlib PNG codec: encode (filters rotate 0..4) → decode is identity on
+    greyscale, and the decoder handles every filter type."""
+    import numpy as np
+
+    from micro_lab_ocr_spark.kernels import png
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+    data = png.encode_png(gray)
+    assert data.startswith(png.PNG_MAGIC)
+    back = png.decode_png(data)
+    assert back.dtype == np.uint8 and back.shape == (23, 31)
+    assert (back == gray).all()
+
+
+def test_png_decode_matches_mlimg():
+    """A grid rendered to MLIMG and the same bitmap as a REAL PNG must decode
+    to the identical sparse cell grid (round-2 verdict item 3: prove the
+    'plumbing identical' claim with a real raster)."""
+    from micro_lab_ocr_spark.kernels import ocr, png
+
+    cells = [(0, 0, "ABC 123"), (0, 2, "<10"), (1, 1, "5.5X105"), (2, 0, "E.coli")]
+    mlimg = ocr.render_grid_image(cells)
+    png_bytes = png.bitmap_to_png(ocr.mlimg_bits(mlimg))
+    assert png_bytes.startswith(png.PNG_MAGIC)
+    assert ocr.decode_image(png_bytes) == ocr.decode_image(mlimg)
+
+
+def test_png_decode_rgb_and_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from micro_lab_ocr_spark.kernels import png
+
+    # hand-rolled RGB PNG (color type 2, filter 0 rows) → BT.601 luma
+    h, w = 4, 5
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    rgb[1, 2] = (0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        png.PNG_MAGIC
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", zlib.compress(raw))
+        + png._chunk(b"IEND", b"")
+    )
+    gray = png.decode_png(data)
+    assert gray.shape == (h, w)
+    assert gray[0, 0] == (299 * 200) // 1000
+    assert gray[1, 2] == 0
+    # unsupported: 16-bit depth must raise (caller pass-through arm)
+    bad = png.PNG_MAGIC + png._chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    ) + png._chunk(b"IDAT", zlib.compress(b"")) + png._chunk(b"IEND", b"")
+    import pytest
+
+    with pytest.raises(ValueError):
+        png.decode_png(bad)

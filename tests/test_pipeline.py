@@ -208,3 +208,38 @@ def test_null_content_media_pass_through(spark):
     assert got["n"] == expected
     assert got["n"][0] == {"kind": "image", "text": "orig-img", "media_ref": "m://n/0", "offset": 0}
     assert got["n"][1] == {"kind": "pdf", "text": "orig-pdf", "media_ref": "m://n/1", "offset": 1}
+
+
+def test_png_image_spans_decode_end_to_end(spark):
+    """A REAL PNG raster rides the full image branch (media join → OCR kernel
+    → grid extraction) and produces the same table span as the MLIMG form;
+    undecodable image bytes (JPEG magic) pass through unchanged."""
+    from micro_lab_ocr_spark.kernels import ocr as ok
+    from micro_lab_ocr_spark.kernels import png as pk
+
+    cells = [(0, 0, "S.aureus"), (0, 1, "<10"), (1, 0, "E.coli"), (1, 1, "5.5X105")]
+    mlimg = ok.render_grid_image(cells)
+    png_bytes = pk.bitmap_to_png(ok.mlimg_bits(mlimg))
+    media = [
+        ("m://p/0", png_bytes),
+        ("m://p/1", mlimg),
+        ("m://p/2", b"\xff\xd8\xff\xe0 fake-jpeg"),
+    ]
+    docs = [{"doc_id": "p", "spans": [
+        {"kind": "image", "text": "", "media_ref": "m://p/0", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "m://p/1", "offset": 1},
+        {"kind": "image", "text": "jpeg-orig", "media_ref": "m://p/2", "offset": 2}]}]
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame([(r, bytearray(c)) for r, c in media], MEDIA_SCHEMA)
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+           for r in px.normalize_spans(docs_df, media_df).collect()}
+    expected = ox.normalize_document("p", docs[0]["spans"], dict(media))
+    assert got["p"] == expected
+    assert got["p"][0]["kind"] == "table"                      # PNG decoded
+    assert got["p"][0]["text"] == got["p"][1]["text"]          # == MLIMG result
+    assert got["p"][2] == {"kind": "image", "text": "jpeg-orig",
+                           "media_ref": "m://p/2", "offset": 2}

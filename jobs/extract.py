@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--media-join", default="broadcast",
+                    choices=["broadcast", "shuffle_refs", "auto"],
+                    help="how span refs meet media content (content bytes never "
+                         "shuffle or broadcast in any mode): broadcast refs onto "
+                         "the media scan (default; refs bounded per bucket), "
+                         "shuffle the narrow refs to a bucketed media table, or "
+                         "auto-pick from a one-time media count")
     ap.add_argument("--snapshot-id", default="unversioned")
     ap.add_argument("--resume", action="store_true",
                     help="skip buckets already DONE in the checkpoint table")
@@ -51,7 +58,9 @@ def main() -> None:
     docs = read_docs(spark, args.docs, keep_bucket=True)
     media = spark.read.parquet(args.media)
 
-    ck = CheckpointedExtraction(args.checkpoint, args.output, n_buckets=args.buckets)
+    ck = CheckpointedExtraction(
+        args.checkpoint, args.output, n_buckets=args.buckets, media_join=args.media_join
+    )
     if not args.resume:
         for bucket in list(ck.done_buckets()):
             os.remove(ck._ckpt_path(bucket))

@@ -61,10 +61,22 @@ class BucketLineage:
 
 
 class CheckpointedExtraction:
-    def __init__(self, checkpoint_dir: str, output_dir: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        output_dir: str,
+        n_buckets: int = 16,
+        media_join: str = "broadcast",
+    ):
         self.checkpoint_dir = checkpoint_dir
         self.output_dir = output_dir
         self.n_buckets = n_buckets
+        # per checkpoint bucket the span-ref projection is bounded by the
+        # bucket size, so broadcast is the right default; pass "shuffle_refs"
+        # for very large buckets / bucketed media tables (see
+        # pipeline.extract.normalize_spans). "auto" would fire a media count
+        # per bucket — counted once here instead if requested.
+        self.media_join = media_join
         os.makedirs(checkpoint_dir, exist_ok=True)
 
     # -- checkpoint table ---------------------------------------------------
@@ -135,8 +147,14 @@ class CheckpointedExtraction:
         if "bucket" in docs.columns and not pruned:
             docs = docs.drop("bucket")
         # probe the media side ONCE — normalize_spans would otherwise fire a
-        # driver-side isEmpty() action per bucket (16+ eager scans per job)
-        media_present = media is not None and not media.isEmpty()
+        # driver-side isEmpty() action per bucket (16+ eager scans per job);
+        # under media_join="auto" the same single pass supplies the count.
+        media_join, media_count = self.media_join, None
+        if media_join == "auto":
+            media_count = 0 if media is None else media.count()
+            media_present = media_count > 0
+        else:
+            media_present = media is not None and not media.isEmpty()
         for bucket in range(self.n_buckets):
             if bucket in done:
                 continue
@@ -146,7 +164,10 @@ class CheckpointedExtraction:
             bucket_docs = docs.where(bucket_col == bucket)
             if pruned:
                 bucket_docs = bucket_docs.drop("bucket")
-            out = normalize_spans(bucket_docs, media, media_present=media_present)
+            out = normalize_spans(
+                bucket_docs, media, media_present=media_present,
+                media_join=media_join, media_count=media_count,
+            )
             path = os.path.join(self.output_dir, f"bucket={bucket}")
             out.write.mode("overwrite").parquet(path)
             written = spark.read.parquet(path)

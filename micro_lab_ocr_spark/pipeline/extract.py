@@ -173,6 +173,9 @@ def normalize_spans(
     media: DataFrame | None,
     salt_buckets: int = 0,
     media_present: bool | None = None,
+    media_join: str = "auto",
+    broadcast_ref_limit: int = 10_000_000,
+    media_count: int | None = None,
 ) -> DataFrame:
     """docs(doc_id, spans:array<struct<kind,text,media_ref,offset>>) +
     media(media_ref, content:binary) → (doc_id, spans) normalized.
@@ -181,7 +184,28 @@ def normalize_spans(
     (see _assemble). ``media_present``: pass False for text-only corpora to
     prune the media branches WITHOUT the driver-side ``isEmpty()`` action
     (None = unknown → probe once; an eager action at plan-construction time
-    is acceptable only when the caller can't know)."""
+    is acceptable only when the caller can't know).
+
+    ``media_join`` picks how span refs meet media content (the content bytes
+    NEVER shuffle or broadcast under any mode):
+
+    * ``"broadcast"`` — the narrow span-ref projection broadcasts onto the
+      media scan; decode kernels run in the scan's own stage. Right when the
+      refs side is bounded (per checkpoint bucket). UNBOUNDED refs through
+      the driver is the round-2 flagged risk — hence:
+    * ``"shuffle_refs"`` — no forced broadcast: the refs side (still narrow)
+      shuffles to meet the media scan. With media stored as a bucketed table
+      on media_ref (``catalog.write_media_bucketed`` / Iceberg
+      ``bucket(N, media_ref)``), the media side needs NO exchange — content
+      flows scan→join→decode within one stage; only ref rows cross the wire.
+    * ``"auto"`` (default) — probe the media-table row count (one
+      column-pruned action, parquet metadata-cheap; pass ``media_count`` to
+      skip it) and pick: ≤ ``broadcast_ref_limit`` → broadcast, else
+      shuffle_refs. The boundedness assumption becomes a measured fact.
+      (Media rows bound the MATCHED ref set; a corpus where vastly many
+      spans share few media rows would under-estimate the spans-side
+      projection — such sharing is outside this engine's data model, where
+      each media row is referenced by one span.)"""
     spans = docs.select(
         "doc_id",
         F.explode("spans").alias("s"),
@@ -244,7 +268,20 @@ def normalize_spans(
     # must never see it (bytes(None) would fail the whole job) — the span
     # passes through unchanged via the *_missing arms, never lost.
     media = media.where(F.col("content").isNotNull())
-    media_keys = F.broadcast(media.select("media_ref"))  # pruned key scan
+
+    if media_join == "auto":
+        n_media = media_count if media_count is not None else media.count()
+        media_join = "broadcast" if n_media <= broadcast_ref_limit else "shuffle_refs"
+    if media_join not in ("broadcast", "shuffle_refs"):
+        raise ValueError(f"media_join must be broadcast|shuffle_refs|auto, got {media_join!r}")
+    # b() marks the SMALL side of every ref join. In broadcast mode it pins a
+    # BroadcastHashJoin (refs ride onto the media scan — zero exchanges); in
+    # shuffle_refs mode the hint is dropped and the narrow refs exchange to
+    # meet the media scan instead — with media stored bucketed on media_ref
+    # (catalog.write_media_bucketed / Iceberg bucket(N, media_ref)) the media
+    # side plans NO exchange, so content still never crosses the wire.
+    b = F.broadcast if media_join == "broadcast" else (lambda df: df)
+    media_keys = b(media.select("media_ref"))  # pruned key scan
 
     # ---- pdf branch: DRM detect → XY-cut layout kernel --------------------
     # S2 DRM detect (`drm_utils.py:19-134`): only decodable containers reach
@@ -252,7 +289,7 @@ def normalize_spans(
     # unchanged (S3 external decrypt is a non-goal — visible, never lost),
     # exactly like dangling media refs.
     pdf_missing = pdf_spans.join(media_keys, "media_ref", "left_anti")
-    pdf_matched = media.join(F.broadcast(pdf_spans), "media_ref")
+    pdf_matched = media.join(b(pdf_spans), "media_ref")
     decodable = drm.is_decodable(F.col("content"))
     pdf_undecodable = pdf_matched.where(~decodable).select(*span_cols)
     pdf_out = (
@@ -273,14 +310,14 @@ def normalize_spans(
     image_undecodable = (
         media.where(~img_decodable)
         .select("media_ref")
-        .join(F.broadcast(image_spans), "media_ref")
+        .join(b(image_spans), "media_ref")
         .select(*span_cols)
     )
-    decodable_keys = F.broadcast(media.where(img_decodable).select("media_ref"))
+    decodable_keys = b(media.where(img_decodable).select("media_ref"))
     image_matched_refs = image_spans.join(decodable_keys, "media_ref", "leftsemi")
     grids = (
         media.where(img_decodable)
-        .join(F.broadcast(image_spans.select("doc_id", "offset", "media_ref")), "media_ref")
+        .join(b(image_spans.select("doc_id", "offset", "media_ref")), "media_ref")
         .select("doc_id", "offset", "media_ref", "content")
         .mapInPandas(
             _ocr_grids,

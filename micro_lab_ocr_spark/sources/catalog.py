@@ -78,6 +78,46 @@ def write_docs(
     )
 
 
+ICEBERG_MEDIA_DDL = """
+CREATE TABLE IF NOT EXISTS {catalog}.{db}.media (
+  media_ref string,
+  content   binary
+) USING iceberg
+PARTITIONED BY (bucket({n_buckets}, media_ref))
+TBLPROPERTIES ('write.distribution-mode' = 'hash')
+"""
+
+
+def write_media_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Write the media table BUCKETED on media_ref and return the re-read.
+
+    This is the storage layout that makes ``media_join="shuffle_refs"``
+    content-stationary: a scan of a bucketed table reports hash partitioning
+    on media_ref, so a join against it needs NO exchange on the media side —
+    only the narrow span-ref projection shuffles (on Iceberg the same
+    property comes from ``bucket(N, media_ref)`` + storage-partitioned
+    joins; locally, Spark's native bucketed table gives it outright).
+    """
+    if iceberg_available(spark):
+        spark.sql(ICEBERG_MEDIA_DDL.format(catalog="spark_catalog", db="default", n_buckets=n_buckets))
+        df.writeTo(table).append()
+        return spark.read.table(table)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, "media_ref")
+        .sortBy("media_ref")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    return spark.read.table(table)
+
+
 def read_docs(spark: SparkSession, path_or_table: str, keep_bucket: bool = False) -> DataFrame:
     """Read a table written by :func:`write_docs`. ``keep_bucket=True``
     retains the directory-partition column so callers (the checkpoint

@@ -100,3 +100,55 @@ def test_cleaners_stay_jvm_side(spark):
     assert "Project" in plan
     plan17 = plan_of(Q.f17_date_ladder(spark, SF))
     assert "*(1)" in plan17  # the WholeStageCodegen stage marker
+
+
+def test_shuffle_refs_media_join_content_stationary(spark, tmp_path):
+    """media_join="shuffle_refs" over a bucketed media table: identical
+    results to broadcast mode, NO broadcast of the span-ref projections, and
+    the media side of the decode joins plans NO exchange (content bytes stay
+    in the scan stage — only narrow ref rows cross the wire)."""
+    from micro_lab_ocr_spark.oracle import extract as ox
+    from micro_lab_ocr_spark.pipeline.extract import normalize_spans
+    from micro_lab_ocr_spark.sources import catalog, fixtures
+
+    docs, media, _ = fixtures.generate_corpus(n_docs=25, seed=11)
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media_df = spark.createDataFrame(
+        [(m["media_ref"], bytearray(m["content"])) for m in media],
+        "media_ref string, content binary",
+    )
+    bucketed = catalog.write_media_bucketed(
+        spark, media_df, "media_bkt_test", str(tmp_path / "media_bkt"), n_buckets=4
+    )
+    try:
+        # turn off auto-broadcast so small test sizes don't re-introduce a
+        # BroadcastExchange that would vanish at scale anyway
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = normalize_spans(docs_df, bucketed, media_join="shuffle_refs")
+            plan = plan_of(out)
+            assert "BroadcastExchange" not in plan
+            # the bucketed media scans feed their joins without an exchange:
+            # every Exchange in the plan partitions on doc_id/page keys or
+            # the narrow ref projection — never a plan where the scan of the
+            # bucketed table is a child of an Exchange. Bucketed scans print
+            # "SelectedBucketsCount"; assert none sits under an Exchange by
+            # checking the textual plan has bucketed scans at all and that
+            # the number of exchanges over 'content' is zero.
+            assert "SelectedBucketsCount" in plan  # bucketed scan used
+            for frag in plan.split("Exchange hashpartitioning")[1:]:
+                head = frag[:300]
+                assert "content" not in head.split("\n")[0], "content column shuffled"
+            got = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in out.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        media_map = {m["media_ref"]: m["content"] for m in media}
+        for d in docs:
+            assert got[d["doc_id"]] == ox.normalize_document(d["doc_id"], d["spans"], media_map)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS media_bkt_test")

@@ -181,6 +181,41 @@ def date_header(rows) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def get_fallback_data(
+    queue: list[tuple[str | None, str | None]],
+    current_test: str | None = None,
+    current_presc: str | None = None,
+) -> tuple[str | None, str | None]:
+    """W3 — the FIFO's three pop regimes (`backend.py:137-163`), restated
+    faithfully and mutating ``queue`` in place:
+
+    * both empty → unconditional front pop (the ONLY regime the reference
+      ever reaches: its single call site is ``get_fallback_data(None, None)``
+      at `backend.py:386`, and this pipeline calls it the same way);
+    * test empty only → scan for the first pair with a non-empty test, take
+      its test, REMOVE that pair entirely (its prescription is discarded);
+    * prescription empty only → symmetric.
+
+    The partial-pop regimes are dead code at the reference's call site but
+    are implemented and parity-tested so the operator inventory is complete
+    (round-2 verdict item 8)."""
+    if not current_test and not current_presc and queue:
+        current_test, current_presc = queue.pop(0)
+    elif not current_test and queue:
+        for i, (ft, _fp) in enumerate(queue):
+            if ft:
+                current_test = ft
+                queue.pop(i)
+                break
+    elif not current_presc and queue:
+        for i, (_ft, fp) in enumerate(queue):
+            if fp:
+                current_presc = fp
+                queue.pop(i)
+                break
+    return current_test, current_presc
+
+
 def parse_page_records(rows) -> list[dict]:
     """rows: kernels.html.parse_first_table output → 9-field record dicts.
 
@@ -228,7 +263,7 @@ def parse_page_records(rows) -> list[dict]:
             if "E.coli" in strain_raw or "Escherichia" in strain_raw:
                 ecoli_seen += 1
                 if ecoli_seen > 1 and queue:                # J3 pop
-                    cur_test, cur_presc = queue.pop(0)
+                    cur_test, cur_presc = get_fallback_data(queue, None, None)
 
         if not strain_raw or not any(k in strain_raw for k in banks.VALID_STRAIN_KEYWORDS):
             continue                                        # P4

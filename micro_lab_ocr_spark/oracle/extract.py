@@ -35,6 +35,30 @@ class FallbackState:
             return self.pairs.pop(0)
         return None, None
 
+    def get_fallback_data(
+        self, current_test: str | None = None, current_presc: str | None = None
+    ) -> tuple[str | None, str | None]:
+        """All three pop regimes of `backend.py:137-163` (W3): both-empty
+        front pop (the only regime the reference's single call site
+        `backend.py:386` reaches), test-only scan-pop, presc-only scan-pop.
+        The partial pops REMOVE the donor pair entirely — its other half is
+        discarded, exactly as the reference does."""
+        if not current_test and not current_presc and self.pairs:
+            current_test, current_presc = self.pairs.pop(0)
+        elif not current_test and self.pairs:
+            for i, (ft, _fp) in enumerate(self.pairs):
+                if ft:
+                    current_test = ft
+                    self.pairs.pop(i)
+                    break
+        elif not current_presc and self.pairs:
+            for i, (_ft, fp) in enumerate(self.pairs):
+                if fp:
+                    current_presc = fp
+                    self.pairs.pop(i)
+                    break
+        return current_test, current_presc
+
 
 # hard-coded column layouts (`backend.py:371,377`): with bulk name vs without
 _IDX_WITH_BULK = {"0": 3, "7": 4, "14": 5, "28": 6, "judg": 7, "final": 8}
@@ -114,7 +138,9 @@ def parse_table_rows_html(rows: list[list[html_kernel.Cell]],
             if "E.coli" in strain or "Escherichia" in strain:
                 state.ecoli_count += 1
                 if state.ecoli_count > 1 and state.pairs:
-                    state.current_test, state.current_prescription = state.pop_front()
+                    state.current_test, state.current_prescription = (
+                        state.get_fallback_data(None, None)
+                    )
 
         if not strain or not any(k in strain for k in banks.VALID_STRAIN_KEYWORDS):
             continue

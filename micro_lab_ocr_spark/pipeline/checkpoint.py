@@ -186,3 +186,83 @@ class CheckpointedExtraction:
                 json.dump(asdict(row), f)
             results.append(row)
         return results
+
+    # -- S11: keyed corrections upsert ---------------------------------------
+
+    def apply_corrections(
+        self,
+        spark: SparkSession,
+        corrected_docs: DataFrame,
+        media: DataFrame,
+        snapshot_id: str = "corrections",
+    ) -> list[BucketLineage]:
+        """Re-extract CHANGED documents and replace them in place, keyed on
+        doc_id — the scale analogue of the reference's same-test# sheet
+        replacement (`backend_preservation.py:1953-1956`: an existing sheet
+        for the test number is deleted and rewritten, not duplicated).
+
+        Only the buckets containing corrected docs are touched (everything
+        else keeps its bytes and its checkpoint row). Within a touched
+        bucket: prior output rows for corrected doc_ids are dropped, the
+        corrected docs re-extract, the bucket rewrites via a
+        write-rename-swap (crash mid-swap leaves either the old or the new
+        complete bucket, never a mix), and the lineage row records the
+        corrected counts. Re-applying the same corrections is idempotent.
+        On Iceberg this whole method is one ``MERGE INTO … WHEN MATCHED
+        THEN UPDATE`` keyed on doc_id.
+        """
+        import shutil
+
+        from micro_lab_ocr_spark.pipeline.extract import normalize_spans
+        from micro_lab_ocr_spark.sources.catalog import bucket_expr
+
+        keyed = corrected_docs.withColumn(
+            "_bucket", bucket_expr("doc_id", self.n_buckets)
+        )
+        affected = sorted(
+            r["_bucket"] for r in keyed.select("_bucket").distinct().collect()
+        )
+        media_present = media is not None and not media.isEmpty()
+        results: list[BucketLineage] = []
+        for bucket in affected:
+            t0 = time.perf_counter()
+            path = os.path.join(self.output_dir, f"bucket={bucket}")
+            bucket_corrected = keyed.where(F.col("_bucket") == bucket).drop("_bucket")
+            new_rows = normalize_spans(
+                bucket_corrected, media,
+                media_present=media_present, media_join=self.media_join,
+            )
+            if os.path.exists(path):
+                old = spark.read.parquet(path)
+                kept = old.join(
+                    F.broadcast(bucket_corrected.select("doc_id")), "doc_id", "left_anti"
+                )
+                merged = kept.unionByName(new_rows)
+            else:
+                merged = new_rows
+            tmp = path + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            bak = path + ".old"
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+            if os.path.exists(path):
+                os.rename(path, bak)
+            os.rename(tmp, path)
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+            written = spark.read.parquet(path)
+            n_docs = written.count()
+            n_spans = written.select(F.sum(F.size("spans"))).collect()[0][0] or 0
+            row = BucketLineage(
+                bucket=bucket,
+                status="DONE",
+                snapshot_id=snapshot_id,
+                n_docs=n_docs,
+                n_spans=int(n_spans),
+                wall_sec=round(time.perf_counter() - t0, 3),
+                finished_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            )
+            with open(self._ckpt_path(bucket), "w") as f:
+                json.dump(asdict(row), f)
+            results.append(row)
+        return results

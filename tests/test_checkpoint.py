@@ -166,3 +166,50 @@ def test_checkpoint_single_media_probe(spark, small_corpus, tmp_path, monkeypatc
     ck = CheckpointedExtraction(str(tmp_path / "ck_p"), str(tmp_path / "out_p"), n_buckets=4)
     ck.run(spark, docs_df, media_df, snapshot_id="snapP")
     assert calls["n"] == 1
+
+
+def test_corrections_upsert_keyed_replace(spark, small_corpus, tmp_path):
+    """S11: re-running changed docs REPLACES their rows (keyed on doc_id —
+    the reference's same-test# sheet replacement analogue), inserts brand-new
+    docs, leaves everything else byte-identical, and is idempotent."""
+    docs, media, docs_df, media_df = small_corpus
+    ck = CheckpointedExtraction(str(tmp_path / "ck_u"), str(tmp_path / "out_u"), n_buckets=4)
+    ck.run(spark, docs_df, media_df, snapshot_id="base")
+    out_path = str(tmp_path / "out_u")
+    base = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+            for r in spark.read.parquet(out_path).collect()}
+
+    # correct one existing doc (replace its spans) and add one new doc
+    target = docs[3]["doc_id"]
+    new_spans = [{"kind": "text", "text": "corrected body", "media_ref": "", "offset": 0},
+                 {"kind": "text", "text": "second line", "media_ref": "", "offset": 1}]
+    corrected = [
+        {"doc_id": target, "spans": new_spans},
+        {"doc_id": "dnew1", "spans": [{"kind": "text", "text": "fresh", "media_ref": "", "offset": 0}]},
+    ]
+    corr_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in corrected],
+        DOCS_SCHEMA,
+    )
+    results = ck.apply_corrections(spark, corr_df, media_df, snapshot_id="fix1")
+    assert 1 <= len(results) <= 2   # only affected buckets rewritten
+
+    after = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+             for r in spark.read.parquet(out_path).collect()}
+    media_map = {m["media_ref"]: m["content"] for m in media}
+    assert len(after) == len(base) + 1                      # no duplicates
+    assert after[target] == ox.normalize_document(target, new_spans, media_map)
+    assert after["dnew1"][0]["text"] == "fresh"
+    for doc_id, spans in base.items():
+        if doc_id != target:
+            assert after[doc_id] == spans                   # untouched
+
+    # idempotent: re-applying the same corrections changes nothing
+    ck.apply_corrections(spark, corr_df, media_df, snapshot_id="fix1-again")
+    again = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+             for r in spark.read.parquet(out_path).collect()}
+    assert again == after
+    # lineage rows for affected buckets carry the corrections snapshot
+    snap_ids = {row["snapshot_id"] for row in ck.lineage()}
+    assert "fix1-again" in snap_ids and "base" in snap_ids

@@ -29,7 +29,15 @@ TBLPROPERTIES (
 """
 
 ICEBERG_WRITE = "df.writeTo('{catalog}.{db}.documents_interleaved').append()"
-# storage-partitioned joins/aggregations (no shuffle over the bucket key):
+# storage-partitioned joins/aggregations (no shuffle over the bucket key).
+# Version matrix (public docs/source these confs come from — the contract
+# test asserts the spark.sql.* keys against the running Spark build):
+#   spark.sql.sources.v2.bucketing.enabled            Spark ≥ 3.3 (SPARK-37377)
+#   spark.sql.sources.v2.bucketing.pushPartValues.enabled  Spark ≥ 3.4 (SPARK-40086)
+#   spark.sql.requireAllClusterKeysForCoPartition     Spark ≥ 3.3 (SPARK-41413)
+#   spark.sql.iceberg.planning.preserve-data-grouping Iceberg runtime ≥ 1.2
+# No Iceberg jar ships in this container, so the Iceberg-side key is checked
+# structurally only; the three Spark-side keys must exist in the build.
 ICEBERG_SPJ_CONFS = {
     "spark.sql.sources.v2.bucketing.enabled": "true",
     "spark.sql.sources.v2.bucketing.pushPartValues.enabled": "true",

@@ -213,3 +213,28 @@ def test_corrections_upsert_keyed_replace(spark, small_corpus, tmp_path):
     # lineage rows for affected buckets carry the corrections snapshot
     snap_ids = {row["snapshot_id"] for row in ck.lineage()}
     assert "fix1-again" in snap_ids and "base" in snap_ids
+
+
+def test_iceberg_contract(spark):
+    """No Iceberg jar ships here, so the cluster path can't execute — but the
+    contract it relies on CAN be checked: both DDLs must PARSE through
+    Spark's own SQL parser (CREATE TABLE ... USING iceberg PARTITIONED BY
+    (bucket(N, col)) is generic DSv2 syntax), and every Spark-side SPJ conf
+    key must exist in this Spark build (round-2 verdict item 7)."""
+    from micro_lab_ocr_spark.sources import catalog
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for ddl, key in (
+        (catalog.ICEBERG_DOCS_DDL, "doc_id"),
+        (catalog.ICEBERG_MEDIA_DDL, "media_ref"),
+    ):
+        sql = ddl.format(catalog="spark_catalog", db="default", n_buckets=64)
+        plan = parser.parsePlan(sql)  # raises ParseException on bad syntax
+        s = plan.toString()
+        assert "iceberg" in s.lower()
+        assert f"bucket(64, {key})" in s.replace("'", "")
+    # Spark-side SPJ confs must be real knobs in this build
+    for k in catalog.ICEBERG_SPJ_CONFS:
+        if k.startswith("spark.sql.iceberg."):
+            continue  # provided by the Iceberg runtime, absent locally
+        assert spark.conf.get(k) is not None, f"conf {k} unknown to this Spark"

@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_brute_cosine_topk",
     "ann_lsh_cosine_topk",
     "f6_f7_clean_chain",
@@ -72,16 +73,19 @@ def run_suite(parallelism: int, sf_dir: str, include_queries: bool = True) -> di
         Q.flagship_entry(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     qd = Q.queries_dict()
+    raw: dict[str, list[float]] = {}
     for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
         Q.flagship_entry(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t = round(time.perf_counter() - t0, 3)
+        raw.setdefault("flagship_extract", []).append(t)
         timings["flagship_extract"] = min(timings.get("flagship_extract", t), t)
         if include_queries:
             for name in HEADLINE:
                 t0 = time.perf_counter()
                 qd[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 t = round(time.perf_counter() - t0, 3)
+                raw.setdefault(name, []).append(t)
                 timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
@@ -90,6 +94,8 @@ def run_suite(parallelism: int, sf_dir: str, include_queries: bool = True) -> di
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
+        "raw_walls": raw,  # every sample behind each min — methodology stays auditable
         "sf": _sf_label(sf_dir),
         "cpus": parallelism,
         "docs": n_docs,
@@ -100,18 +106,24 @@ def run_suite(parallelism: int, sf_dir: str, include_queries: bool = True) -> di
 
 
 CORPUS_DIR = os.path.join(REPO, ".bench_corpus")
+SCALING_BUCKETS = int(os.environ.get("SPARK_GRAFT_SCALING_BUCKETS", "8"))
 
 
 def _ensure_media_corpus(n_docs: int = 36000) -> str:
-    """Materialize the media-heavy interleaved fixture corpus as parquet once
-    — the scaling job reads it like any production input. The media-heavy mix
-    makes the OCR/table kernels (the north-star workload) dominate wall time
-    so the measurement reflects data-parallel compute, not stage latency."""
-    marker = os.path.join(CORPUS_DIR, f".done_{n_docs}")
+    """Materialize the media-heavy interleaved fixture corpus ONCE, in the
+    PRODUCTION layout the checkpointed job reads (round-2 verdict item 1):
+    docs directory-bucketed on doc_id (catalog.write_docs — the Iceberg
+    bucket(N, doc_id) stand-in) and media co-partitioned by owning doc
+    (catalog.write_media_copartitioned), so each per-bucket run prunes both
+    scans. The media-heavy mix makes the OCR/table kernels (the north-star
+    workload) dominate wall time."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(CORPUS_DIR, f".done_v2_{n_docs}_{SCALING_BUCKETS}")
     if os.path.exists(marker):
         return CORPUS_DIR
     from micro_lab_ocr_spark.session import get_spark
-    from micro_lab_ocr_spark.sources import fixtures
+    from micro_lab_ocr_spark.sources import catalog, fixtures
 
     docs, media, _ = fixtures.generate_corpus(
         n_docs=n_docs, seed=42, mix=fixtures.MEDIA_HEAVY_MIX
@@ -127,33 +139,61 @@ def _ensure_media_corpus(n_docs: int = 36000) -> str:
         [(m["media_ref"], bytearray(m["content"])) for m in media],
         "media_ref string, content binary",
     )
-    # 256 files each: a real corpus scan has thousands of splits — the
-    # two-parallelism protocol must not be scan-split-bound at local[32]
-    docs_df.repartition(256).write.mode("overwrite").parquet(f"{CORPUS_DIR}/docs.parquet")
-    media_df.repartition(256).write.mode("overwrite").parquet(f"{CORPUS_DIR}/media.parquet")
+    # many files per bucket: a real corpus scan has thousands of splits —
+    # the two-parallelism protocol must not be scan-split-bound at the high
+    # level (write_docs repartitions by bucket; splits come from file sizing)
+    catalog.write_docs(spark, docs_df, f"{CORPUS_DIR}/docs_bucketed", n_buckets=SCALING_BUCKETS)
+    catalog.write_media_copartitioned(
+        spark, media_df, f"{CORPUS_DIR}/media_cp",
+        owner_doc_id=F.split(F.col("media_ref"), "/").getItem(2),
+        n_buckets=SCALING_BUCKETS,
+    )
     spark.stop()
     open(marker, "w").write("ok")
     return CORPUS_DIR
 
 
 def run_scaling_single(parallelism: int) -> dict:
-    """One timed run of the full media pipeline at a parallelism level."""
+    """One timed session of the PRODUCTION job (the same configuration
+    jobs/extract.py submits: checkpointed per-bucket extraction over the
+    bucketed docs layout + co-partitioned media, parquet output + lineage)
+    at a parallelism level. Warmup pass (codegen/plan/python workers), then
+    two timed passes with fresh checkpoint/output dirs each."""
+    import shutil
+    import tempfile
     import time as _t
 
-    from micro_lab_ocr_spark.pipeline.extract import normalize_spans
+    from micro_lab_ocr_spark.pipeline.checkpoint import CheckpointedExtraction
     from micro_lab_ocr_spark.session import get_spark
+    from micro_lab_ocr_spark.sources import catalog
 
     spark = get_spark("scaling", parallelism=parallelism)
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{CORPUS_DIR}/docs.parquet")
-    media = spark.read.parquet(f"{CORPUS_DIR}/media.parquet")
+    docs = catalog.read_docs(spark, f"{CORPUS_DIR}/docs_bucketed", keep_bucket=True)
+    media = spark.read.parquet(f"{CORPUS_DIR}/media_cp")
     n_docs = docs.count()
-    normalize_spans(docs, media, media_present=True).write.format("noop").mode("overwrite").save()  # warmup
-    walls = []
-    for _ in range(2):  # two timed passes per warm session — denser sampling
-        t0 = _t.perf_counter()
-        normalize_spans(docs, media, media_present=True).write.format("noop").mode("overwrite").save()
-        walls.append(round(_t.perf_counter() - t0, 3))
+
+    def one_pass() -> float:
+        work = tempfile.mkdtemp(prefix="scaling_")
+        try:
+            # submission parallelism sized to the level: enough in-flight
+            # bucket jobs to overlap plan compile with compute, never so many
+            # that tiny-core levels thrash (measured: pool=8 on 2 cores is
+            # 40% slower than pool=4)
+            pool = min(SCALING_BUCKETS, max(2, parallelism // 2))
+            ck = CheckpointedExtraction(
+                os.path.join(work, "ckpt"), os.path.join(work, "out"),
+                n_buckets=SCALING_BUCKETS, media_copartitioned=True,
+                max_concurrent_buckets=pool,
+            )
+            t0 = _t.perf_counter()
+            ck.run(spark, docs, media)
+            return round(_t.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    one_pass()  # warmup
+    walls = [one_pass(), one_pass()]
     spark.stop()
     return {"cores": parallelism, "wall": min(walls), "walls": walls, "docs": n_docs}
 
@@ -219,10 +259,10 @@ def run_scaling(sf_dir: str) -> None:
     corpus (the north-star workload: OCR/table kernels dominate). Each level
     does a warmup pass (codegen/plan/python-worker warm) then a timed pass,
     in a clean subprocess per level; reps interleaved, min wall per level."""
-    _ensure_media_corpus()
+    _ensure_media_corpus(int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "36000")))
     levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16")
     lo, hi = (int(x) for x in levels.split(","))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
     walls: dict[int, list[float]] = {lo: [], hi: []}
     docs = 0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -247,7 +287,10 @@ def run_scaling(sf_dir: str) -> None:
     eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "t_lo": min(walls[lo]), "t_hi": min(walls[hi]),
-                      "lo": lo, "hi": hi, "docs": docs, "calibration": cal,
+                      "lo": lo, "hi": hi, "docs": docs, "reps": reps,
+                      "job": "checkpointed bucketed extraction (jobs/extract.py config)",
+                      "calibration": cal,
+                      "eff_vs_cpu_ceiling": round(eff / cal["intcpu"]["eff"], 3),
                       "walls_lo": walls[lo], "walls_hi": walls[hi]}))
 
 
@@ -257,21 +300,25 @@ def _write_scaling_md(lo, hi, walls, docs, cal, reps_done) -> None:
     eff = (t_lo / t_hi) / (hi / lo)
     md = f"""# BENCH/BASELINE — scaling protocol results
 
-Same job (full interleaved extraction: text/html/table_html/image/pdf spans →
-normalized spans, incl. the OCR grid path; media bytes never enter a shuffle)
-over the same materialized fixture corpus ({docs} docs with media), two
-parallelism levels — the sandbox stand-in for N vs 4N executors
-(BASELINE.md protocol). Reps interleaved ({reps_done} done, 2 timed passes
-per warm session), min wall per level.
+Same job — the PRODUCTION configuration a user submits (jobs/extract.py:
+checkpointed per-bucket extraction over the catalog-bucketed docs layout
+with co-partitioned media, parquet output + per-bucket lineage; all of
+text/html/table_html/image/pdf incl. the OCR grid path; media bytes never
+enter a shuffle) — over the same materialized fixture corpus ({docs} docs
+with media), two parallelism levels — the sandbox stand-in for N vs 4N
+executors (BASELINE.md protocol). Reps interleaved ({reps_done} done, 2
+timed passes per warm session after a warmup pass), min wall per level.
 
 | parallelism | wall (s) | docs/sec | docs/sec/core |
 |---|---|---|---|
 | local[{lo}] | {t_lo:.2f} | {docs / t_lo:.1f} | {docs / t_lo / lo:.2f} |
 | local[{hi}] | {t_hi:.2f} | {docs / t_hi:.1f} | {docs / t_hi / hi:.2f} |
 
-**Scaling efficiency (T_{lo}/T_{hi})/{hi // lo} = {eff:.3f}** (target ≥ 0.8).
+**Scaling efficiency (T_{lo}/T_{hi})/{hi // lo} = {eff:.3f}** (target ≥ 0.8);
+relative to this box's same-run pure-CPU ceiling: {eff / cal['intcpu']['eff']:.3f}.
 
-All raw walls — lo: {walls[lo]}, hi: {walls[hi]}.
+All raw walls — lo: {walls[lo]}, hi: {walls[hi]} ({reps_done} interleaved
+reps × 2 timed passes per level).
 
 ## Why levels {lo}→{hi} (and the hardware calibration)
 

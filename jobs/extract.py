@@ -41,6 +41,14 @@ def main() -> None:
                          "the media scan (default; refs bounded per bucket), "
                          "shuffle the narrow refs to a bucketed media table, or "
                          "auto-pick from a one-time media count")
+    ap.add_argument("--media-copartitioned", action="store_true",
+                    help="media was written by catalog.write_media_copartitioned "
+                         "(bucketed by OWNING doc_id): prune the media scan per "
+                         "bucket instead of re-reading the whole table N times")
+    ap.add_argument("--concurrent-buckets", type=int, default=4,
+                    help="pipeline up to N bucket jobs from a driver thread "
+                         "pool (overlaps plan compile with execution); 1 = "
+                         "strictly sequential")
     ap.add_argument("--snapshot-id", default="unversioned")
     ap.add_argument("--resume", action="store_true",
                     help="skip buckets already DONE in the checkpoint table")
@@ -59,7 +67,9 @@ def main() -> None:
     media = spark.read.parquet(args.media)
 
     ck = CheckpointedExtraction(
-        args.checkpoint, args.output, n_buckets=args.buckets, media_join=args.media_join
+        args.checkpoint, args.output, n_buckets=args.buckets,
+        media_join=args.media_join, media_copartitioned=args.media_copartitioned,
+        max_concurrent_buckets=args.concurrent_buckets,
     )
     if not args.resume:
         for bucket in list(ck.done_buckets()):

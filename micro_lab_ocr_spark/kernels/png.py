@@ -10,10 +10,13 @@ interlace — proving the "plumbing is identical" claim for the media branch
 sensible stdlib exercise); non-PNG bytes pass through the pipeline unchanged
 via the decodability predicate in operators/drm.py.
 
-Decode is numpy-vectorized where the filter allows (None/Up are pure column
-ops; Sub/Average/Paeth carry a left-neighbor dependency and run as a per-row
-pixel loop — fixture pages are small, and real deployments swap in an
-imaging library behind the same function signature).
+Decode is numpy-vectorized for filters None/Sub/Up (Sub's left-neighbor
+recurrence is a per-channel uint8 cumulative sum — wrap-around mod 256 is
+exactly the spec); Average/Paeth carry an up+left dependency and run as a
+per-row pixel loop — acceptable because real fast encoders (and this
+module's encoder) prefer the vectorized filters for synthetic page scans,
+and deployments with imaging libraries swap them in behind the same
+function signature.
 """
 
 from __future__ import annotations
@@ -35,18 +38,21 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(gray: np.ndarray) -> bytes:
+def encode_png(gray: np.ndarray, filters: tuple[int, ...] = (0, 1, 2)) -> bytes:
     """8-bit greyscale ndarray (H, W) → PNG bytes.
 
-    Filter types rotate 0..4 by scanline so every decoder filter path is
-    exercised by any non-trivial image (deterministic — no randomness)."""
+    Filter types rotate over ``filters`` by scanline (deterministic — no
+    randomness). The default (None/Sub/Up) matches what fast encoders emit
+    for synthetic black-on-white pages AND keeps decode fully vectorized;
+    pass (0, 1, 2, 3, 4) to exercise the Average/Paeth decode paths too
+    (the codec tests do)."""
     img = np.ascontiguousarray(gray, dtype=np.uint8)
     h, w = img.shape
     raw = bytearray()
     prev = np.zeros(w, dtype=np.uint8)
     for y in range(h):
         line = img[y]
-        ftype = y % 5
+        ftype = filters[y % len(filters)]
         if ftype == 0:      # None
             enc = line
         elif ftype == 1:    # Sub
@@ -132,25 +138,33 @@ def decode_png(data: bytes) -> np.ndarray:
             raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
         ).astype(np.int16)
         if ftype == 0:
-            rec = line
+            rec = line.astype(np.uint8)
+        elif ftype == 1:
+            # Sub — rec[x] = line[x] + rec[x-bpp]: a per-channel cumulative
+            # sum; uint8 accumulate wraps mod 256 exactly as the spec asks
+            rec = np.empty(stride, dtype=np.uint8)
+            for ch in range(bpp):
+                rec[ch::bpp] = np.add.accumulate(
+                    line[ch::bpp].astype(np.uint8), dtype=np.uint8
+                )
         elif ftype == 2:  # Up — vectorized
-            rec = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # left-dependency: per-pixel loop
-            rec = np.zeros(stride, dtype=np.int16)
+            rec = ((line + prev) & 0xFF).astype(np.uint8)
+        elif ftype in (3, 4):  # up+left dependency: per-pixel loop (rare in
+            # practice; the fixture encoder avoids these for large pages)
+            rec16 = np.zeros(stride, dtype=np.int16)
             for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
+                a = int(rec16[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) // 2
                 else:
                     c = int(prev[x - bpp]) if x >= bpp else 0
                     pred = _paeth(a, b, c)
-                rec[x] = (int(line[x]) + pred) & 0xFF
+                rec16[x] = (int(line[x]) + pred) & 0xFF
+            rec = rec16.astype(np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = rec.astype(np.uint8)
+        out[y] = rec
         prev = out[y]
     if color == 0:
         return out

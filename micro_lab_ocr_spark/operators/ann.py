@@ -180,3 +180,78 @@ def lsh_topk(
     scored = _cosine_np(pairs.select("query_id", "corpus_id", "qvec", "cvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT: every (id_a < id_b)
+    with round(cosine, 4) ≥ threshold (the correctness baseline the LSH path
+    is judged against, task brief §dedup).
+
+    A self theta-join would plan as a BroadcastNestedLoopJoin pushing O(n²)
+    rows through Catalyst. Instead the classic block-grid matmul: vectors
+    hash into B blocks, each block packs into ONE row (map-side groupBy),
+    the B×(B+1)/2 unordered block pairs form a tiny broadcast join, and a
+    numpy kernel scores each block pair as a single matrix product. Compute
+    stays O(n²) — exactness requires it — but it's distributed over block
+    pairs with n/B-row matrices and zero per-pair Catalyst rows. Size B so a
+    block (n·d·8/B bytes) fits executor memory; at web scale you run the
+    LSH candidates + this kernel on candidates only."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    idtype = emb.schema[id_col].dataType.simpleString()
+    v = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+    packed = v.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "vec")).alias("items")
+    )
+    grid = (
+        packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+        .join(
+            F.broadcast(
+                packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+            ),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out_a, out_b, out_c = [], [], []
+            for blk_a, blk_b, items_a, items_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["items_a"], pdf["items_b"]
+            ):
+                same = blk_a == blk_b
+                ids_a = [r["id"] for r in items_a]
+                ids_b = [r["id"] for r in items_b]
+                A = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in items_a])
+                B = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in items_b])
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = np.round(An @ Bn.T, 4)
+                for i, j in zip(*np.nonzero(S >= threshold)):
+                    a, b = ids_a[i], ids_b[j]
+                    if a == b:
+                        continue
+                    if same and not a < b:
+                        continue  # symmetric matrix: keep the i<j triangle once
+                    lo, hi = (a, b) if a < b else (b, a)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_c.append(S[i, j])
+            if out_a:  # empty frames confuse Arrow dtype inference
+                yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return grid.mapInPandas(
+        score, f"id_a {idtype}, id_b {idtype}, cosine double"
+    )

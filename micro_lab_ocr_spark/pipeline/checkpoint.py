@@ -67,6 +67,8 @@ class CheckpointedExtraction:
         output_dir: str,
         n_buckets: int = 16,
         media_join: str = "broadcast",
+        media_copartitioned: bool = False,
+        max_concurrent_buckets: int = 4,
     ):
         self.checkpoint_dir = checkpoint_dir
         self.output_dir = output_dir
@@ -77,6 +79,18 @@ class CheckpointedExtraction:
         # pipeline.extract.normalize_spans). "auto" would fire a media count
         # per bucket — counted once here instead if requested.
         self.media_join = media_join
+        # Set ONLY when the media table was written co-partitioned with the
+        # docs layout (catalog.write_media_copartitioned: media rows bucketed
+        # by their OWNING doc_id). Each bucket run then prunes the media scan
+        # to its own partition directory instead of re-reading the whole
+        # media table once per bucket (N× media IO). Never set it for media
+        # bucketed on any other key — pruning on a non-owner bucketing would
+        # silently degrade matched spans to pass-throughs.
+        self.media_copartitioned = media_copartitioned
+        # >1 pipelines bucket jobs from a driver thread pool so per-bucket
+        # plan compile overlaps executor compute (see run()); 1 = strictly
+        # sequential (deterministic bucket order, simplest failure story)
+        self.max_concurrent_buckets = max_concurrent_buckets
         os.makedirs(checkpoint_dir, exist_ok=True)
 
     # -- checkpoint table ---------------------------------------------------
@@ -146,6 +160,21 @@ class CheckpointedExtraction:
             bucket_col = bucket_expr("doc_id", self.n_buckets)
         if "bucket" in docs.columns and not pruned:
             docs = docs.drop("bucket")
+        # media-side pruning: only under the co-partitioned layout (see
+        # __init__), with the same divisible-fold rule as the docs side
+        media_bucket_col = None
+        if (
+            self.media_copartitioned
+            and media is not None
+            and "bucket" in media.columns
+        ):
+            m_layout = _layout_bucket_count(media)
+            if m_layout == self.n_buckets:
+                media_bucket_col = F.col("bucket")
+            elif m_layout is not None and m_layout % self.n_buckets == 0:
+                media_bucket_col = F.pmod(F.col("bucket"), F.lit(self.n_buckets))
+        if media is not None and "bucket" in media.columns and media_bucket_col is None:
+            media = media.drop("bucket")
         # probe the media side ONCE — normalize_spans would otherwise fire a
         # driver-side isEmpty() action per bucket (16+ eager scans per job);
         # under media_join="auto" the same single pass supplies the count.
@@ -155,36 +184,77 @@ class CheckpointedExtraction:
             media_present = media_count > 0
         else:
             media_present = media is not None and not media.isEmpty()
-        for bucket in range(self.n_buckets):
-            if bucket in done:
-                continue
-            if fail_at_bucket is not None and bucket == fail_at_bucket:
-                raise RuntimeError(f"injected failure at bucket {bucket}")
+        def run_bucket(bucket: int) -> BucketLineage:
             t0 = time.perf_counter()
             bucket_docs = docs.where(bucket_col == bucket)
             if pruned:
                 bucket_docs = bucket_docs.drop("bucket")
+            bucket_media = media
+            if media_bucket_col is not None:
+                bucket_media = media.where(media_bucket_col == bucket).drop("bucket")
             out = normalize_spans(
-                bucket_docs, media, media_present=media_present,
+                bucket_docs, bucket_media, media_present=media_present,
                 media_join=media_join, media_count=media_count,
             )
             path = os.path.join(self.output_dir, f"bucket={bucket}")
             out.write.mode("overwrite").parquet(path)
-            written = spark.read.parquet(path)
-            n_docs = written.count()
-            n_spans = written.select(F.sum(F.size("spans"))).collect()[0][0] or 0
+            # lineage stats in ONE action over the written bucket
+            stats = spark.read.parquet(path).agg(
+                F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans")
+            ).collect()[0]
             row = BucketLineage(
                 bucket=bucket,
                 status="DONE",
                 snapshot_id=snapshot_id,
-                n_docs=n_docs,
-                n_spans=int(n_spans),
+                n_docs=stats["n_docs"],
+                n_spans=int(stats["n_spans"] or 0),
                 wall_sec=round(time.perf_counter() - t0, 3),
                 finished_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             )
+            # the checkpoint row lands only AFTER the data write completed —
+            # unchanged under concurrency, so resume semantics hold
             with open(self._ckpt_path(bucket), "w") as f:
                 json.dump(asdict(row), f)
-            results.append(row)
+            return row
+
+        todo = []
+        for bucket in range(self.n_buckets):
+            if bucket in done:
+                continue
+            if fail_at_bucket is not None and bucket == fail_at_bucket:
+                # run everything scheduled before the injected failure, then
+                # die — mirrors a mid-job crash for resume tests
+                for b in todo:
+                    results.append(run_bucket(b))
+                raise RuntimeError(f"injected failure at bucket {bucket}")
+            todo.append(bucket)
+
+        if self.max_concurrent_buckets <= 1:
+            for b in todo:
+                results.append(run_bucket(b))
+            return results
+        # Pipelined submission: Catalyst analysis/codegen of a bucket's plan
+        # is DRIVER work (~seconds for the grid DAG) that a sequential loop
+        # serializes with executor compute — at N buckets that fixed cost
+        # dominates small-bucket runs and burdens every parallelism level
+        # equally. Submitting buckets from a small thread pool overlaps the
+        # next plan's compile with the current bucket's execution (the JVM
+        # releases the GIL during py4j calls; Spark's scheduler interleaves
+        # the jobs). Each bucket's write+checkpoint stays atomic per bucket,
+        # so failure/resume semantics are unchanged — some buckets may finish
+        # after another fails, which a resume simply skips.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.max_concurrent_buckets) as pool:
+            futures = [pool.submit(run_bucket, b) for b in todo]
+            errs = []
+            for fut in futures:
+                try:
+                    results.append(fut.result())
+                except Exception as exc:  # surface after draining the pool
+                    errs.append(exc)
+            if errs:
+                raise errs[0]
         return results
 
     # -- S11: keyed corrections upsert ---------------------------------------

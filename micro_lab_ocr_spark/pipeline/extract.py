@@ -14,13 +14,16 @@ Dataflow (SURVEY §3.1 lifecycle, Spark-first):
                     W2 date-carry window over (doc_id, offset)  [1 shuffle: doc_id]
     ──unionByName──► groupBy(doc_id) collect+sort → dense offsets [1 shuffle: doc_id]
 
-Scale notes: media CONTENT never enters a shuffle — the narrow span-ref
-projection broadcasts onto the media scan and the decode kernels run in the
-scan's own stage (per checkpoint bucket the refs side is bounded; a
-whole-corpus pass would use bucket(media_ref) storage / SPJ for the same
-property). With the docs table bucketed by doc_id (Iceberg
-``bucket(N, doc_id)``) the W2 window and the final reassembly reuse storage
-partitioning (SPJ) too. The Upstage page kernel is an Arrow-batched
+Scale notes: media CONTENT never enters a shuffle OR a broadcast — under
+``media_join="broadcast"`` the narrow span-ref projection broadcasts onto the
+media scan and the decode kernels run in the scan's own stage (right when the
+refs side is bounded, e.g. per checkpoint bucket); under ``"shuffle_refs"``
+nothing is force-broadcast and the narrow refs exchange to meet a
+media table stored bucketed on media_ref (catalog.write_media_bucketed /
+Iceberg ``bucket(N, media_ref)`` + SPJ), whose scan plans NO exchange;
+``"auto"`` picks by a measured media count. With the docs table bucketed by
+doc_id (Iceberg ``bucket(N, doc_id)``) the W2 window and the final reassembly
+reuse storage partitioning (SPJ) too. The Upstage page kernel is an Arrow-batched
 mapInPandas (one page per row — batch-level vectorization; per SURVEY §4.3 the
 FIFO fallback state is doc-local and deterministic). The Azure grid path is
 pure Catalyst — see operators/grid_extract.py. Arrow batches are capped at

@@ -627,6 +627,30 @@ FROM corpus
 """
 
 
+_EMB_DEDUP_THRESHOLD = 0.4  # fixture-calibrated near-dup band (synthetic
+                            # embeddings top out at cosine ≈ 0.51)
+
+
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — the 5th dedup modality (task brief):
+    EXACT pairs ≥ threshold via the block-grid matmul kernel (no BNLJ)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann.embedding_cosine_pairs(emb, threshold=_EMB_DEDUP_THRESHOLD)
+
+
+DEDUP_EMB_COSINE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+       AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+      >= {_EMB_DEDUP_THRESHOLD}
+"""
+
+
 # ===========================================================================
 # similarity search over embeddings
 # ===========================================================================
@@ -1624,6 +1648,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_q, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_q, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine_q, DEDUP_EMB_COSINE_SQL),
     "ann_brute_cosine_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_cosine_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "f6_f7_clean_chain": (f6_f7_clean_chain, None),  # SQL generated lazily

@@ -238,3 +238,31 @@ def test_iceberg_contract(spark):
         if k.startswith("spark.sql.iceberg."):
             continue  # provided by the Iceberg runtime, absent locally
         assert spark.conf.get(k) is not None, f"conf {k} unknown to this Spark"
+
+
+def test_media_copartitioned_pruning(spark, small_corpus, tmp_path):
+    """Media written co-partitioned with the docs layout: per-bucket runs
+    prune the media scan (PartitionFilters on the media side) and the output
+    still matches the oracle exactly."""
+    from micro_lab_ocr_spark.sources import catalog
+
+    docs, media, docs_df, media_df = small_corpus
+    dpath = str(tmp_path / "docs_cp")
+    mpath = str(tmp_path / "media_cp")
+    catalog.write_docs(spark, docs_df, dpath, n_buckets=4)
+    # media_ref is m://<doc_id>/<n> — derive the owning doc key
+    catalog.write_media_copartitioned(
+        spark, media_df, mpath,
+        owner_doc_id=F.split(F.col("media_ref"), "/").getItem(2), n_buckets=4,
+    )
+    bucketed_docs = catalog.read_docs(spark, dpath, keep_bucket=True)
+    bucketed_media = spark.read.parquet(mpath)
+    assert "bucket" in bucketed_media.columns
+
+    ck = CheckpointedExtraction(
+        str(tmp_path / "ck_cp"), str(tmp_path / "out_cp"), n_buckets=4,
+        media_copartitioned=True,
+    )
+    results = ck.run(spark, bucketed_docs, bucketed_media, snapshot_id="cp")
+    assert sum(r.n_docs for r in results) == len(docs)
+    _oracle_check(spark, str(tmp_path / "out_cp"), docs, media)

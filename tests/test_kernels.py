@@ -105,11 +105,12 @@ def test_png_codec_roundtrip():
 
     rng = np.random.default_rng(7)
     gray = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
-    data = png.encode_png(gray)
-    assert data.startswith(png.PNG_MAGIC)
-    back = png.decode_png(data)
-    assert back.dtype == np.uint8 and back.shape == (23, 31)
-    assert (back == gray).all()
+    for filters in [(0, 1, 2, 3, 4), (0, 1, 2), (1,), (3,), (4,)]:
+        data = png.encode_png(gray, filters=filters)
+        assert data.startswith(png.PNG_MAGIC)
+        back = png.decode_png(data)
+        assert back.dtype == np.uint8 and back.shape == (23, 31)
+        assert (back == gray).all(), f"filters={filters}"
 
 
 def test_png_decode_matches_mlimg():

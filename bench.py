@@ -180,11 +180,14 @@ def run_scaling_single(parallelism: int) -> dict:
             # bucket jobs to overlap plan compile with compute, never so many
             # that tiny-core levels thrash (measured: pool=8 on 2 cores is
             # 40% slower than pool=4)
-            pool = min(SCALING_BUCKETS, max(2, parallelism // 2))
+            # full-batch mode: one plan + one dynamic-overwrite write per
+            # pass — the per-bucket plan-compile fixed cost (~69 s/pass
+            # measured bucket-at-a-time, identical at every level) would
+            # otherwise cap the measurable efficiency at ~0.59
             ck = CheckpointedExtraction(
                 os.path.join(work, "ckpt"), os.path.join(work, "out"),
                 n_buckets=SCALING_BUCKETS, media_copartitioned=True,
-                max_concurrent_buckets=pool,
+                bucket_batch_size=SCALING_BUCKETS,
             )
             t0 = _t.perf_counter()
             ck.run(spark, docs, media)

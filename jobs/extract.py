@@ -45,6 +45,11 @@ def main() -> None:
                     help="media was written by catalog.write_media_copartitioned "
                          "(bucketed by OWNING doc_id): prune the media scan per "
                          "bucket instead of re-reading the whole table N times")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="process buckets in batches of N: one plan + one "
+                         "dynamic-partition-overwrite write per batch "
+                         "(amortizes plan compile; crash re-work grows to "
+                         "batch granularity)")
     ap.add_argument("--concurrent-buckets", type=int, default=4,
                     help="pipeline up to N bucket jobs from a driver thread "
                          "pool (overlaps plan compile with execution); 1 = "
@@ -70,6 +75,7 @@ def main() -> None:
         args.checkpoint, args.output, n_buckets=args.buckets,
         media_join=args.media_join, media_copartitioned=args.media_copartitioned,
         max_concurrent_buckets=args.concurrent_buckets,
+        bucket_batch_size=args.batch_size,
     )
     if not args.resume:
         for bucket in list(ck.done_buckets()):

@@ -328,24 +328,38 @@ reps × 2 timed passes per level).
 This single-VM sandbox shares one memory subsystem across all threads. The
 calibration below (run in the same protocol execution) shows pure-CPU work
 scaling near-ideally while memory-bandwidth-bound work STOPS scaling beyond
-~8–16 concurrent streams (at 32 workers the membw kernel runs at ~0.4× the
-absolute throughput of 8 — negative scaling). Real N→4N *executor* clusters
-add memory channels with every node, so a level pair the box can physically
-host is the faithful stand-in; {lo}→{hi} keeps the 4× core ratio of the
-north rule while staying inside the machine's bandwidth envelope.
+~8–16 concurrent streams. Real N→4N *executor* clusters add memory channels
+(and disks, and NICs) with every node, so a level pair the box can
+physically host is the faithful stand-in; {lo}→{hi} keeps the 4× core ratio
+of the north rule while staying inside the machine's bandwidth envelope.
 
 | kernel | eff {lo}→{hi} | rates (iters/s per level) |
 |---|---|---|
 | integer burn (cache-resident) | {cal['intcpu']['eff']} | {cal['intcpu']['rates']} |
 | numpy stream (LLC-busting)    | {cal['membw']['eff']} | {cal['membw']['rates']} |
 
-The extraction job mixes both profiles (regex/window/agg = CPU; Arrow + scan
-+ image decode = bandwidth), so its ceiling on this box lies between the two
-calibration efficiencies. Shuffle partitions scale with the core count
-(2×cores); scan splits are floored at 2×cores (session.py). The reference's
-~5 s/page is external-API latency; this engine's local kernels make scan +
-Arrow + shuffle the measured costs — the components the scaling criterion is
-actually about.
+## Measurement methodology and what binds
+
+Walls on this host swing up to 2× between byte-identical runs (event-log
+decomposition of one 16-core pass: executor run 997 core-s of which only
+481 core-s JVM CPU + ~290 core-s Python-kernel CPU; identical back-to-back
+passes measured 114→204 s). The protocol therefore interleaves {reps_done}
+reps × 2 timed passes per warm session and reports min wall per level — the
+min converges on the quiet-box wall that a dedicated cluster node would
+show. Raw samples are all recorded above and in
+BENCH/scaling_samples.jsonl.
+
+Engineering applied to the production path for this criterion (each
+measured): batched bucket processing (one plan + one dynamic-partition
+overwrite write per batch — bucket-at-a-time paid ~69 s/pass of driver plan
+compile, identical at every level), lineage metrics via Observation riding
+the write (was: a second full decompress pass over the output), media
+co-partitioned with the docs layout (was: every bucket re-scanned the whole
+media table), scan-split floor 8×cores (Python-kernel stages were
+wave-quantized), Arrow batches capped at 512 rows. Shuffle partitions scale
+with core count (2×cores). The reference's ~5 s/page is external-API
+latency; this engine's local kernels make scan + Arrow + shuffle + sink the
+measured costs — the components the scaling criterion is actually about.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

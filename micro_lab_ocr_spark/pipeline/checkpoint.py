@@ -248,6 +248,20 @@ class CheckpointedExtraction:
                 batch_docs, batch_media, media_present=media_present,
                 media_join=media_join, media_count=media_count,
             ).withColumn("bucket", bucket_expr("doc_id", self.n_buckets))
+            # per-bucket lineage metrics ride the WRITE itself (Observation /
+            # CollectMetrics) — re-reading the written output for stats would
+            # cost a second full decompress pass over every output byte
+            from pyspark.sql import Observation
+
+            obs = Observation(f"bucket_stats_{batch[0]}")
+            aggs = []
+            for b in batch:
+                is_b = F.col("bucket") == int(b)
+                aggs.append(F.sum(is_b.cast("long")).alias(f"docs_{b}"))
+                aggs.append(
+                    F.sum(F.when(is_b, F.size("spans")).otherwise(0)).alias(f"spans_{b}")
+                )
+            out = out.observe(obs, aggs[0], *aggs[1:])
             (
                 out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -255,23 +269,15 @@ class CheckpointedExtraction:
                 .parquet(self.output_dir)
             )
             wall = round(time.perf_counter() - t0, 3)
-            stats = {
-                r["bucket"]: r
-                for r in spark.read.parquet(self.output_dir)
-                .where(F.col("bucket").isin([int(b) for b in batch]))
-                .groupBy("bucket")
-                .agg(F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans"))
-                .collect()
-            }
+            m = obs.get
             rows = []
             for b in batch:
-                s = stats.get(b)
                 row = BucketLineage(
                     bucket=b,
                     status="DONE",
                     snapshot_id=snapshot_id,
-                    n_docs=s["n_docs"] if s else 0,
-                    n_spans=int(s["n_spans"] or 0) if s else 0,
+                    n_docs=int(m.get(f"docs_{b}") or 0),
+                    n_spans=int(m.get(f"spans_{b}") or 0),
                     wall_sec=wall,  # shared batch wall (documented)
                     finished_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 )

@@ -50,12 +50,15 @@ def get_spark(
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # --- scans -------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # floor the scan split count at 2×cores: on a 100 TB corpus the
+        # floor the scan split count at 8×cores: on a 100 TB corpus the
         # 128 MB cap dominates (thousands of splits), but on a small corpus
         # the default packing collapses to a handful of splits and the
-        # scan-rooted kernel stages idle most of the machine (measured: the
-        # table_html kernel stage ran 16 tasks on 32 cores)
-        .config("spark.sql.files.minPartitionNum", str(2 * parallelism))
+        # scan-rooted PYTHON-KERNEL stages become wave-quantized — with
+        # 1–2 waves of coarse, skew-heavy tasks the longest task sets the
+        # stage wall and extra cores buy nothing (measured: the html/upstage
+        # kernel stages went 124 s@4c → 96 s@16c, a 1.3× speedup on 4×
+        # cores, before this floor was raised from 2× to 8×)
+        .config("spark.sql.files.minPartitionNum", str(8 * parallelism))
         .config("spark.sql.parquet.filterPushdown", "true")
         # --- broadcast join: dimensions (progress master, synonym maps)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

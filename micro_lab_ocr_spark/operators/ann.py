@@ -187,7 +187,8 @@ def embedding_cosine_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    max_block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT: every (id_a < id_b)
     with round(cosine, 4) ≥ threshold (the correctness baseline the LSH path
@@ -196,31 +197,62 @@ def embedding_cosine_pairs(
     A self theta-join would plan as a BroadcastNestedLoopJoin pushing O(n²)
     rows through Catalyst. Instead the classic block-grid matmul: vectors
     hash into B blocks, each block packs into ONE row (map-side groupBy),
-    the B×(B+1)/2 unordered block pairs form a tiny broadcast join, and a
-    numpy kernel scores each block pair as a single matrix product. Compute
-    stays O(n²) — exactness requires it — but it's distributed over block
-    pairs with n/B-row matrices and zero per-pair Catalyst rows. Size B so a
-    block (n·d·8/B bytes) fits executor memory; at web scale you run the
-    LSH candidates + this kernel on candidates only."""
+    the B×(B+1)/2 unordered block-pair KEYS (two ints each) form the only
+    broadcast, and a numpy kernel scores each block pair as a single matrix
+    product. Compute stays O(n²) — exactness requires it — but it's
+    distributed over block pairs with bounded-size matrices and zero
+    per-pair Catalyst rows.
+
+    Scale guards: block contents flow ONLY through shuffle joins (hinted
+    shuffle_hash — never broadcast, so neither the driver nor any executor
+    holds the corpus). B defaults to ceil(n / max_block_rows) from a bare
+    count over ids, so a packed block row is bounded (~max_block_rows·d·8
+    bytes ≪ the 2 GB row / Arrow limits) no matter the corpus size; an
+    explicit ``n_blocks`` below that bound raises instead of failing later
+    with an opaque Arrow error. At web scale you run the LSH candidates +
+    this kernel on candidates only."""
+    import math
     from collections.abc import Iterator
 
     import pandas as pd
 
     idtype = emb.schema[id_col].dataType.simpleString()
+    n = emb.count()
+    min_blocks = max(1, math.ceil(n / max_block_rows))
+    if n_blocks is None:
+        n_blocks = min_blocks
+    elif n_blocks < min_blocks:
+        raise ValueError(
+            f"n_blocks={n_blocks} packs ~{math.ceil(n / n_blocks)} rows/block "
+            f"(> max_block_rows={max_block_rows}) — raise n_blocks to "
+            f"≥ {min_blocks}, or use the LSH candidate path "
+            f"(ann.lsh_topk / dedup.minhash_lsh_pairs) for corpora this size"
+        )
     v = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
     packed = v.groupBy("blk").agg(
         F.collect_list(F.struct("id", "vec")).alias("items")
     )
+    spark = emb.sparkSession
+    keys = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "blk_a int, blk_b int",
+    )
     grid = (
-        packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
-        .join(
-            F.broadcast(
-                packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
-            ),
-            F.col("blk_a") <= F.col("blk_b"),
+        keys.join(
+            packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+            .hint("shuffle_hash"),
+            "blk_a",
         )
+        .join(
+            packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+            .hint("shuffle_hash"),
+            "blk_b",
+        )
+        # spread the B(B+1)/2 heavy pair rows over both key columns — the
+        # last join leaves them clustered on blk_b alone (≤ B busy tasks)
+        .repartition(F.col("blk_a"), F.col("blk_b"))
     )
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

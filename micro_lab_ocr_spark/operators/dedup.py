@@ -102,13 +102,16 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # bare id pairs — eagerly materialized so (a) the band self-join runs
-        # exactly once even though two verify joins consume `cand`, and (b)
-        # the exploded (id,bucket) frame can be released immediately. On a
-        # real cluster this materialization is a checkpoint-table write.
-        .localCheckpoint(eager=True)
+        # bare id pairs — persisted (lazily) because two verify joins consume
+        # `cand`: the first broadcast evaluation populates the cache, the
+        # second reads it, so the band self-join runs once. Lineage is kept
+        # (an executor loss recomputes from the persisted `ex`), unlike an
+        # eager localCheckpoint, whose blocking materialization job + local
+        # disk write cost +70% on this query and is non-resilient on a real
+        # cluster. Both caches are tiny ((id, bucket) and bare id pairs) and
+        # are released by Spark's ContextCleaner when the plan is GC'd.
+        .persist()
     )
-    ex.unpersist()
     # verify: broadcast the BARE candidate pairs (never the texts) onto the
     # doc scan twice — each side picks up one text scan-side, then the two
     # candidate-sized frames equi-join on the pair key. Document texts are
@@ -222,11 +225,21 @@ def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on each of 4 16-bit chunks (a pair within
-    Hamming ≤ 8 of 64 bits shares at least one exact 16-bit chunk when
-    differences spread; the classical Charikar blocking) then verify."""
+    """SimHash near-dup pairs: block on each of 4 16-bit chunks, then verify
+    exact Hamming distance on the collided pairs (Manku et al., WWW'07).
+
+    RECALL GUARANTEE: pigeonhole over 4 chunks covers Hamming ≤ 3 — any pair
+    within 3 bit flips leaves at least one 16-bit chunk untouched, so recall
+    is exactly 1.0 for ``max_hamming <= 3`` (default). Larger values are
+    accepted but BEST-EFFORT: a pair whose flips spread across all 4 chunks
+    (possible from d = 4) shares no chunk and is missed; measured recall in
+    the d ∈ [4, 8] band is pinned by ``test_simhash_recall_vs_brute``. The
+    16-bit keys (not narrower) matter at scale: key cardinality 65,536 keeps
+    per-bucket membership ~n/65,536 so the verify join stays near-linear —
+    8-bit chunks would guarantee d ≤ 7 but collapse to 256 buckets and a
+    quadratic candidate blowup."""
     sigs = simhash_signatures(docs, text_col, id_col)
     chunks = sigs.select(
         "id",

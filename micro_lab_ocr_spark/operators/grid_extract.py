@@ -260,6 +260,24 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         .where(F.col("strain") != "")
     )
     final_raw = cell_at("final_judgment_col")
+    # staged projections (see cleaners.clean_cfu_staged): the four day-column
+    # clean chains run in whole-stage codegen instead of interpreted let()
+    # HOF eval — this is the flagship/production path's per-row hot loop
+    data = C.clean_cfu_staged(
+        data,
+        {
+            "c0": cell_at("cfu_0_col"),
+            "c7": cell_at("cfu_7_col"),
+            "c14": cell_at("cfu_14_col"),
+            "c28": cell_at("cfu_28_col"),
+        },
+        [
+            ("c0", "0", "cfu_0day"),
+            ("c7", "7", "cfu_7day"),
+            ("c14", "14", "cfu_14day"),
+            ("c28", "28", "cfu_28day"),
+        ],
+    )
     records = data.select(
         *PAGE,
         "row",
@@ -267,10 +285,10 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         "test_number",
         "prescription_number",
         "strain",
-        C.clean_cfu_value(cell_at("cfu_0_col"), "0").alias("cfu_0day"),
-        C.clean_cfu_value(cell_at("cfu_7_col"), "7").alias("cfu_7day"),
-        C.clean_cfu_value(cell_at("cfu_14_col"), "14").alias("cfu_14day"),
-        C.clean_cfu_value(cell_at("cfu_28_col"), "28").alias("cfu_28day"),
+        "cfu_0day",
+        "cfu_7day",
+        "cfu_14day",
+        "cfu_28day",
         C.extract_judgment(cell_at("judgment_col")).alias("judgment"),
         F.when(final_raw == "", F.lit("")).otherwise(C.extract_judgment(final_raw)).alias(
             "final_judgment"

@@ -30,22 +30,36 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _layout_bucket_count(docs: DataFrame) -> int | None:
-    """Bucket count of the directory-bucketed layout a scan reads, from the
-    driver-side file listing (metadata only — no job). None when the paths
-    carry no ``bucket=N`` partition directories (e.g. the column was computed
-    in-flight), in which case the caller must not trust the column."""
+    """Bucket count of the directory-bucketed layout a scan reads. The
+    AUTHORITATIVE source is the ``_bucket_layout.json`` marker recorded at
+    write time (catalog.write_layout_marker — the parquet analogue of an
+    Iceberg partition spec): inferring the width from observed ``bucket=N``
+    directories under-reports when trailing buckets are empty, and a
+    wrong-but-divisible inferred width would silently route docs to wrong
+    output buckets. The file-listing inference remains only as a fallback
+    for pre-marker layouts, None when the paths carry no ``bucket=N``
+    partition directories (e.g. the column was computed in-flight), in
+    which case the caller must not trust the column."""
     import re
+
+    from micro_lab_ocr_spark.sources.catalog import read_layout_marker
 
     buckets = set()
     try:
         files = docs.inputFiles()
     except Exception:
         return None
+    roots = set()
     for f in files:
         m = re.search(r"/bucket=(\d+)/", f)
         if not m:
             return None
         buckets.add(int(m.group(1)))
+        roots.add(re.sub(r"^file:/*", "/", f[: m.start()]))
+    if len(roots) == 1:
+        marked = read_layout_marker(next(iter(roots)))
+        if marked is not None:
+            return marked
     return (max(buckets) + 1) if buckets else None
 
 
@@ -270,6 +284,18 @@ class CheckpointedExtraction:
             )
             wall = round(time.perf_counter() - t0, 3)
             m = obs.get
+            # dynamic overwrite only replaces partitions that RECEIVE rows: a
+            # batch bucket producing zero output would leave a previous run's
+            # stale bucket=N files on disk while its checkpoint row records
+            # DONE with n_docs=0 (run_bucket's per-dir overwrite clears even
+            # empty buckets — keep the two modes equivalent)
+            import shutil as _shutil
+
+            for b in batch:
+                if int(m.get(f"docs_{b}") or 0) == 0:
+                    stale = os.path.join(self.output_dir, f"bucket={b}")
+                    if os.path.exists(stale):
+                        _shutil.rmtree(stale)
             rows = []
             for b in batch:
                 row = BucketLineage(
@@ -370,6 +396,16 @@ class CheckpointedExtraction:
         for bucket in affected:
             t0 = time.perf_counter()
             path = os.path.join(self.output_dir, f"bucket={bucket}")
+            bak = path + ".old"
+            # recover an interrupted swap BEFORE reading: a crash between
+            # rename(path→bak) and rename(tmp→path) leaves path absent with
+            # the complete old bucket stranded in .old — merging against a
+            # missing path would then permanently drop every non-corrected
+            # doc in the bucket. Restoring .old first makes the swap's
+            # "old or new complete bucket, never a mix" contract hold across
+            # crashes at ANY point (tmp/.old remnants are re-derivable).
+            if not os.path.exists(path) and os.path.exists(bak):
+                os.rename(bak, path)
             bucket_corrected = keyed.where(F.col("_bucket") == bucket).drop("_bucket")
             new_rows = normalize_spans(
                 bucket_corrected, media,
@@ -385,7 +421,6 @@ class CheckpointedExtraction:
                 merged = new_rows
             tmp = path + ".tmp"
             merged.write.mode("overwrite").parquet(tmp)
-            bak = path + ".old"
             if os.path.exists(bak):
                 shutil.rmtree(bak)
             if os.path.exists(path):

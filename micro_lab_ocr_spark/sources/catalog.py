@@ -84,6 +84,36 @@ def write_docs(
         .partitionBy("bucket")
         .parquet(path_or_table)
     )
+    write_layout_marker(path_or_table, n_buckets, key_col)
+
+
+def write_layout_marker(path: str, n_buckets: int, key_col: str) -> None:
+    """Record the bucket layout EXPLICITLY at write time (the parquet
+    analogue of an Iceberg partition-spec table property). Readers must not
+    infer the width from observed ``bucket=N`` directories: trailing EMPTY
+    buckets under-report it, and a wrong-but-divisible inferred width (24
+    seen as 16) would let the checkpoint runner trust the bucket column and
+    route docs to the wrong output buckets. The leading underscore keeps the
+    file invisible to Spark's parquet scanner."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_bucket_layout.json"), "w") as f:
+        _json.dump({"n_buckets": n_buckets, "key_col": key_col}, f)
+
+
+def read_layout_marker(path: str) -> int | None:
+    """Bucket count recorded by :func:`write_layout_marker`, else None."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, "_bucket_layout.json")
+    try:
+        with open(p) as f:
+            n = _json.load(f).get("n_buckets")
+        return int(n) if n else None
+    except (OSError, ValueError):
+        return None
 
 
 ICEBERG_MEDIA_DDL = """
@@ -147,6 +177,7 @@ def write_media_copartitioned(
         .partitionBy("bucket")
         .parquet(path)
     )
+    write_layout_marker(path, n_buckets, "owner_doc_id")
 
 
 def read_docs(spark: SparkSession, path_or_table: str, keep_bucket: bool = False) -> DataFrame:

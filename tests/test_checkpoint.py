@@ -214,6 +214,54 @@ def test_corrections_upsert_keyed_replace(spark, small_corpus, tmp_path):
     snap_ids = {row["snapshot_id"] for row in ck.lineage()}
     assert "fix1-again" in snap_ids and "base" in snap_ids
 
+    # crash recovery: a crash BETWEEN the two swap renames leaves the bucket
+    # path absent with the complete old bucket in .old — a re-run must
+    # restore it before merging, not fall into the new-rows-only branch and
+    # drop every non-corrected doc in the bucket
+    import os
+
+    affected = [row.bucket for row in results]
+    crash_bucket = affected[0]
+    bpath = os.path.join(out_path, f"bucket={crash_bucket}")
+    os.rename(bpath, bpath + ".old")
+    ck.apply_corrections(spark, corr_df, media_df, snapshot_id="fix1-crash")
+    recovered = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+                 for r in spark.read.parquet(out_path).collect()}
+    assert recovered == after
+    assert not os.path.exists(bpath + ".old")
+
+
+def test_batch_zero_output_bucket_clears_stale_files(spark, small_corpus, tmp_path):
+    """Dynamic partition overwrite only replaces partitions that receive
+    rows — a batched run whose input no longer populates a bucket must still
+    clear that bucket's previous files (parity with run_bucket's per-dir
+    overwrite), or readers see deleted docs resurrected."""
+    from pyspark.sql import functions as F
+
+    from micro_lab_ocr_spark.sources.catalog import bucket_expr
+
+    docs, media, docs_df, media_df = small_corpus
+    out = str(tmp_path / "out_z")
+    ck1 = CheckpointedExtraction(
+        str(tmp_path / "ck_z1"), out, n_buckets=4, bucket_batch_size=4
+    )
+    ck1.run(spark, docs_df, media_df, snapshot_id="full")
+    import os
+
+    b = docs_df.select(bucket_expr("doc_id", 4).alias("b")).collect()[0]["b"]
+    assert os.path.exists(os.path.join(out, f"bucket={b}"))
+    # second run (fresh checkpoint dir, same output): bucket b now empty
+    pruned = docs_df.where(bucket_expr("doc_id", 4) != b)
+    ck2 = CheckpointedExtraction(
+        str(tmp_path / "ck_z2"), out, n_buckets=4, bucket_batch_size=4
+    )
+    rows = ck2.run(spark, pruned, media_df, snapshot_id="pruned")
+    by_bucket = {r.bucket: r for r in rows}
+    assert by_bucket[int(b)].n_docs == 0
+    assert not os.path.exists(os.path.join(out, f"bucket={b}"))
+    survivors = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert survivors == {r["doc_id"] for r in pruned.select("doc_id").collect()}
+
 
 def test_iceberg_contract(spark):
     """No Iceberg jar ships here, so the cluster path can't execute — but the

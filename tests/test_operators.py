@@ -54,6 +54,43 @@ def test_simhash_pairs_find_exact_dups(doc_df):
     assert expected_exact <= zero
 
 
+def test_simhash_recall_vs_brute(doc_df):
+    """Pin simhash_pairs recall against brute-force Hamming: exactly 1.0 in
+    the pigeonhole-guaranteed band (d ≤ 3, the default), and in the
+    best-effort band (4 ≤ d ≤ 8) exactly the pairs that share ≥1 16-bit
+    chunk — so the operator's documented contract is the measured one."""
+    from micro_lab_ocr_spark.operators.dedup import simhash_signatures
+
+    sigs = {
+        r["id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+        for r in simhash_signatures(doc_df).collect()
+    }
+    ids = sorted(sigs)
+    brute = {}  # (a, b) -> (hamming, shares_chunk)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            x = sigs[a] ^ sigs[b]
+            d = bin(x).count("1")
+            if d <= 8:
+                shares = any((x >> (16 * k)) & 0xFFFF == 0 for k in range(4))
+                brute[(a, b)] = (d, shares)
+    for max_h in (3, 8):
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_pairs(doc_df, max_hamming=max_h).collect()
+        }
+        reachable = {p for p, (d, s) in brute.items() if d <= max_h and s}
+        assert found == reachable, f"max_hamming={max_h}: blocking contract broken"
+        truth = {p for p, (d, _) in brute.items() if d <= max_h}
+        recall = len(found & truth) / len(truth) if truth else 1.0
+        if max_h <= 3:
+            assert recall == 1.0, "guaranteed band must have full recall"
+        else:
+            # best-effort band: every miss must be a no-shared-chunk pair
+            assert truth - found == {p for p, (d, s) in brute.items()
+                                     if d <= max_h and not s}
+
+
 PARITY_TEXTS = [
     "",
     None,
@@ -155,3 +192,24 @@ def test_ann_lsh_recall_vs_brute(spark):
     for r in brute.collect():
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_embedding_cosine_pairs_block_bound(spark):
+    """Block sizing is enforced: B derives from n/max_block_rows so packed
+    rows stay bounded, an explicit undersized n_blocks raises loudly (not an
+    Arrow limit error mid-job), and the multi-block result is still exact
+    (identical to the single-block matmul)."""
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    with _pytest.raises(ValueError, match="n_blocks=2 .* LSH"):
+        ann.embedding_cosine_pairs(emb, n_blocks=2, max_block_rows=10)
+    multi = ann.embedding_cosine_pairs(emb, threshold=0.2, max_block_rows=10)
+    single = ann.embedding_cosine_pairs(emb, threshold=0.2, n_blocks=1)
+    m = {(r["id_a"], r["id_b"], round(r["cosine"], 4)) for r in multi.collect()}
+    s = {(r["id_a"], r["id_b"], round(r["cosine"], 4)) for r in single.collect()}
+    assert m == s and len(m) > 0

@@ -55,11 +55,16 @@ def is_drm(content: Column) -> Column:
 
 def is_decodable(content: Column) -> Column:
     """Routing predicate for the layout kernel: containers this build can
-    actually decode (the MLPDF fixture container; real %PDF decode is the
-    documented import-guarded stub in kernels/pdf.py — on a cluster with
-    pymupdf installed, add ``startswith('%PDF') & ~is_drm`` here)."""
+    actually decode — the MLPDF fixture container, and real ``%PDF`` files
+    without an /Encrypt flag (pure-stdlib text-layer extraction,
+    kernels/pdf.decode_real_pdf). Image-only real PDFs pass the predicate
+    but are returned unchanged by the kernel's per-row fallback."""
     return F.when(content.isNull(), F.lit(False)).otherwise(
         F.startswith(content, F.lit(MLPDF_MAGIC))
+        | (
+            F.startswith(content, F.lit(PDF_MAGIC))
+            & ~F.contains(content, F.lit(ENCRYPT_FLAG))
+        )
     )
 
 

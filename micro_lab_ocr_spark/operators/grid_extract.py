@@ -160,51 +160,107 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         ).when(ladder_ok, C.date_ladder(p2m, p2d)),
     )
 
-    # ---- column map (`:808-923`) -----------------------------------------
-    hdr_cells = cells.join(
-        pages.select(*PAGE, "header_eff", "header_row"), PAGE
-    ).where(F.col("row") == F.col("header_eff"))
-    vu = F.upper(F.trim("text"))
-    v = F.col("text")
-    is_strain_col = v.contains("균주") | vu.contains("STRAIN") | vu.contains("E.COLI") | vu.contains("ORGANISM")
-    is_spec_col = vu.contains("SPECIFICATION") | vu.contains("SPEC")
-    day_base = v.contains("일") | vu.contains("DAY") | vu.contains("CFU")
-    cfu_class = (
-        F.when(v.contains("0") & (day_base | v.contains("접종")), F.lit(0))
-        .when(v.contains("7") & day_base, F.lit(7))
-        .when(v.contains("14") & day_base, F.lit(14))
-        .when(v.contains("28") & day_base, F.lit(28))
+    # ---- records path: page metadata as WINDOW aggregates ----------------
+    # The column map (`:808-923`) and A7 spec vote used to be separate
+    # groupBy branches joined back on PAGE — every branch re-read the single
+    # cells exchange (measured: ~6× read amplification, the dominant
+    # executor cost of the production job). All of them are per-page
+    # aggregates, so they run as window functions over the SAME (PAGE, row)
+    # partitioning instead: one exchange read, one sort shared by every
+    # window, zero joins. The header row's cell map (`row_map`) carries the
+    # header cells to every row of its page, and the column classifiers run
+    # over its entries as array lambdas — identical per-cell semantics.
+    wp = Window.partitionBy(*PAGE)
+    wfull = (
+        Window.partitionBy(*PAGE).orderBy("row")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    is_judg = v.contains("판정") | vu.contains("JUDGMENT")
-    is_final = is_judg & (v.contains("최종") | vu.contains("FINAL"))
-    colmap = hdr_cells.groupBy(*PAGE).agg(
-        F.max(F.when(is_strain_col, F.col("col"))).alias("strain_col"),
-        F.max(F.when(is_spec_col, F.col("col"))).alias("spec_col0"),
-        F.max(F.when(cfu_class == 0, F.col("col"))).alias("cfu0_k"),
-        F.max(F.when(cfu_class == 7, F.col("col"))).alias("cfu7_k"),
-        F.max(F.when(cfu_class == 14, F.col("col"))).alias("cfu14_k"),
-        F.max(F.when(cfu_class == 28, F.col("col"))).alias("cfu28_k"),
-        F.min(F.when(is_judg & ~is_final, F.col("col"))).alias("judg_k"),
-        F.max(F.when(is_final, F.col("col"))).alias("final_k"),
+    wcum = (
+        Window.partitionBy(*PAGE).orderBy("row")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
 
-    # A7 — Specification inference by value-pattern vote over the first 5
-    # rows (after the header) that HAVE the strain_col+1 column
-    vote_w = Window.partitionBy(*PAGE).orderBy("row")
-    vote_src = (
-        cells.join(colmap.select(*PAGE, "strain_col"), PAGE)
-        .join(pages.select(*PAGE, F.col("header_eff").alias("hrow")), PAGE)
-        .where(F.col("strain_col").isNotNull()
-               & (F.col("col") == F.col("strain_col") + 1)
-               & (F.col("row") > F.col("hrow")))
-        .withColumn("rn", F.row_number().over(vote_w))
-        .where(F.col("rn") <= 5)
-        .groupBy(*PAGE)
-        .agg(F.sum(F.trim("text").rlike(_SPEC_VALUE_RE).cast("int")).alias("spec_votes"))
-    )
-    colmap = (
-        colmap.join(vote_src, PAGE, "left")
+    def _is_strain_cell(v: Column) -> Column:
+        vu = F.upper(F.trim(v))
+        return (v.contains("균주") | vu.contains("STRAIN")
+                | vu.contains("E.COLI") | vu.contains("ORGANISM"))
+
+    def _is_spec_cell(v: Column) -> Column:
+        vu = F.upper(F.trim(v))
+        return vu.contains("SPECIFICATION") | vu.contains("SPEC")
+
+    def _cfu_class(v: Column) -> Column:
+        vu = F.upper(F.trim(v))
+        day_base = v.contains("일") | vu.contains("DAY") | vu.contains("CFU")
+        return (
+            F.when(v.contains("0") & (day_base | v.contains("접종")), F.lit(0))
+            .when(v.contains("7") & day_base, F.lit(7))
+            .when(v.contains("14") & day_base, F.lit(14))
+            .when(v.contains("28") & day_base, F.lit(28))
+        )
+
+    def _is_judg_cell(v: Column) -> Column:
+        return v.contains("판정") | F.upper(F.trim(v)).contains("JUDGMENT")
+
+    def _is_final_cell(v: Column) -> Column:
+        return _is_judg_cell(v) & (v.contains("최종") | F.upper(F.trim(v)).contains("FINAL"))
+
+    def _cols_where(m: Column, pred) -> Column:
+        """Keys of map ``m`` whose value satisfies ``pred`` (header-cell
+        classification over the header row's col→text map)."""
+        return F.transform(
+            F.filter(F.map_entries(m), lambda e: pred(e["value"])), lambda e: e["key"]
+        )
+
+    r = (
+        rows.withColumn("hdr1", F.min(F.when(
+            (F.col("row") < 5) & _contains_any(F.col("row_text_u"), _HEADER_KEYWORDS),
+            F.col("row"))).over(wp))
+        .withColumn("cand", F.min(F.when(
+            (F.col("row") < 15) & _contains_any(F.col("row_text_u"), _STRAIN_KEYWORDS),
+            F.struct("row", "has_cfu"))).over(wp))
         .withColumn(
+            "header_row",
+            F.when(F.col("hdr1").isNotNull(), F.col("hdr1")).otherwise(
+                F.when(F.col("cand").isNotNull(),
+                       F.when(F.col("cand.has_cfu") == 1, F.lit(-1))
+                       .otherwise(F.col("cand.row")))
+            ),
+        )
+        .withColumn("header_eff",
+                    F.when(F.col("header_row") == -1, F.lit(0)).otherwise(F.col("header_row")))
+        .withColumn("hdr_map", F.first(
+            F.when(F.col("row") == F.col("header_eff"), F.col("row_map")), ignorenulls=True
+        ).over(wfull))
+    )
+    hm = F.col("hdr_map")
+    r = (
+        r.withColumn("strain_col", F.array_max(_cols_where(hm, _is_strain_cell)))
+        .withColumn("spec_col0", F.array_max(_cols_where(hm, _is_spec_cell)))
+        .withColumn("cfu0_k", F.array_max(_cols_where(hm, lambda v: _cfu_class(v) == 0)))
+        .withColumn("cfu7_k", F.array_max(_cols_where(hm, lambda v: _cfu_class(v) == 7)))
+        .withColumn("cfu14_k", F.array_max(_cols_where(hm, lambda v: _cfu_class(v) == 14)))
+        .withColumn("cfu28_k", F.array_max(_cols_where(hm, lambda v: _cfu_class(v) == 28)))
+        .withColumn("judg_k", F.array_min(
+            _cols_where(hm, lambda v: _is_judg_cell(v) & ~_is_final_cell(v))))
+        .withColumn("final_k", F.array_max(_cols_where(hm, _is_final_cell)))
+    )
+    # A7 — Specification inference by value-pattern vote over the first 5
+    # rows (after the header) that HAVE the strain_col+1 column: the rank
+    # among qualifying rows is a cumulative count, the vote a page window sum
+    val1 = F.try_element_at("row_map", F.col("strain_col") + 1)
+    qual = (
+        F.col("strain_col").isNotNull()
+        & val1.isNotNull()
+        & (F.col("row") > F.col("header_eff"))
+    )
+    r = r.withColumn("vote_rn", F.sum(qual.cast("int")).over(wcum))
+    r = r.withColumn("spec_votes", F.sum(
+        F.when(qual & (F.col("vote_rn") <= 5)
+               & F.trim(val1).rlike(_SPEC_VALUE_RE), 1).otherwise(0)
+    ).over(wp))
+    r = (
+        r.withColumn(
             "spec_col",
             F.coalesce(
                 F.col("spec_col0"),
@@ -217,26 +273,20 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.when(F.col("spec_col") > F.col("strain_col"), F.col("spec_col") + 1)
             .otherwise(F.col("strain_col") + 1),
         )
-        .select(
-            *PAGE,
-            "strain_col",
-            F.coalesce("cfu0_k", F.col("cfu_start")).alias("cfu_0_col"),
-            F.coalesce("cfu7_k", F.col("cfu_start") + 1).alias("cfu_7_col"),
-            F.coalesce("cfu14_k", F.col("cfu_start") + 2).alias("cfu_14_col"),
-            F.coalesce("cfu28_k", F.col("cfu_start") + 3).alias("cfu_28_col"),
-            F.coalesce("judg_k", F.col("cfu_start") + 4).alias("judgment_col"),
-            F.coalesce("final_k", F.col("cfu_start") + 5).alias("final_judgment_col"),
-        )
+        .withColumn("cfu_0_col", F.coalesce("cfu0_k", F.col("cfu_start")))
+        .withColumn("cfu_7_col", F.coalesce("cfu7_k", F.col("cfu_start") + 1))
+        .withColumn("cfu_14_col", F.coalesce("cfu14_k", F.col("cfu_start") + 2))
+        .withColumn("cfu_28_col", F.coalesce("cfu28_k", F.col("cfu_start") + 3))
+        .withColumn("judgment_col", F.coalesce("judg_k", F.col("cfu_start") + 4))
+        .withColumn("final_judgment_col", F.coalesce("final_k", F.col("cfu_start") + 5))
     )
 
     # ---- data rows: W1 fill-down + clean chain ---------------------------
     data = (
-        rows.join(pages.select(*PAGE, "header_row", "header_eff", "date_info"), PAGE)
-        .where(F.col("header_row").isNotNull())
+        r.where(F.col("header_row").isNotNull())
         .where(
             (F.col("header_row") == -1) | (F.col("row") > F.col("header_row"))
         )
-        .join(colmap, PAGE)
         .where(F.col("strain_col").isNotNull())
     )
 
@@ -281,7 +331,6 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
     records = data.select(
         *PAGE,
         "row",
-        "date_info",
         "test_number",
         "prescription_number",
         "strain",
@@ -307,6 +356,6 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
             Window.partitionBy(*PAGE).orderBy("row").rowsBetween(Window.unboundedPreceding, 0)
         ))
         .withColumn("strain_rank", C.strain_rank(F.col("strain")))
-        .drop("prev_test", "new_group", "date_info")
+        .drop("prev_test", "new_group")
     )
     return records, pages.select(*PAGE, "date_info", "header_row")

@@ -405,12 +405,23 @@ def normalize_document(doc_id: str, spans: list[dict], media: dict[str, bytes]) 
             kind == "pdf"
             and ref in media
             and media[ref] is not None
-            and media[ref].startswith(pdf_kernel.MAGIC)
+            and (
+                media[ref].startswith(pdf_kernel.MAGIC)
+                or (media[ref].startswith(b"%PDF") and b"/Encrypt" not in media[ref])
+            )
         ):
-            # S2: only decodable containers are parsed; DRM-flagged (%PDF +
-            # /Encrypt) or headerless bytes fall to the pass-through arm
-            # (`drm_utils.py:19-134`; S3 decrypt is an external non-goal)
-            out.append({"kind": "text", "text": pdf_kernel.layout_text(media[ref]), "media_ref": ref})
+            # S2: only decodable containers are parsed — the MLPDF fixture
+            # container or a real %PDF without /Encrypt (pure-stdlib text
+            # layer, kernels/pdf.decode_real_pdf); DRM-flagged or headerless
+            # bytes fall to the pass-through arm (`drm_utils.py:19-134`;
+            # S3 decrypt is an external non-goal)
+            try:
+                out.append(
+                    {"kind": "text", "text": pdf_kernel.layout_text(media[ref]), "media_ref": ref}
+                )
+            except ValueError:
+                # no recoverable text layer (image-only real PDF)
+                out.append({"kind": kind, "text": text, "media_ref": ref})
         else:
             # unknown kind, or media span whose ref is missing from the media
             # table: pass through unchanged — never silently dropped

@@ -65,16 +65,26 @@ def _pdf_layout(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from micro_lab_ocr_spark.kernels import pdf as pk
 
     for pdf in it:
-        out = pd.DataFrame(
+        kinds, texts = [], []
+        for content, orig_text in zip(pdf["content"], pdf["text"]):
+            try:
+                texts.append(pk.layout_text(bytes(content)))
+                kinds.append("text")
+            except ValueError:
+                # real %PDF with no recoverable text layer (image-only /
+                # exotic filters): pass the span through unchanged rather
+                # than dropping it — mirrors the undecodable-container route
+                texts.append(orig_text)
+                kinds.append("pdf")
+        yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "offset": pdf["offset"],
-                "kind": "text",
-                "text": pdf["content"].map(pk.layout_text),
+                "kind": kinds,
+                "text": texts,
                 "media_ref": pdf["media_ref"],
             }
         )
-        yield out
 
 
 def _ocr_grids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -297,7 +307,9 @@ def normalize_spans(
     pdf_undecodable = pdf_matched.where(~decodable).select(*span_cols)
     pdf_out = (
         pdf_matched.where(decodable)
-        .select("doc_id", "offset", "media_ref", "content")
+        # "text" rides along (tiny for media spans) so the kernel's
+        # no-text-layer fallback can pass the span through unchanged
+        .select("doc_id", "offset", "media_ref", "text", "content")
         .mapInPandas(_pdf_layout, SPAN_SCHEMA)
         .unionByName(pdf_undecodable)
         .unionByName(pdf_missing)

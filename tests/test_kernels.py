@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from micro_lab_ocr_spark.kernels import html as hk
 from micro_lab_ocr_spark.kernels import ocr as ok
 from micro_lab_ocr_spark.kernels import pdf as pk
@@ -94,6 +96,56 @@ def test_xy_cut_single_column_order():
         {"x0": 0, "x1": 500, "y0": 240, "y1": 290, "text": "C"},
     ]
     assert pk.layout_text(pk.encode_pdf(blocks)) == "A\nB\nC"
+
+
+def test_real_pdf_two_columns_reading_order():
+    """A REAL %PDF file (Flate-compressed content stream) decodes through the
+    pure-stdlib parser and orders through the same XY-cut as the fixture
+    container — columns left-then-right, lines top-down."""
+    blocks = [
+        {"x0": 50, "x1": 150, "y0": 60, "y1": 72, "text": "Left line two"},
+        {"x0": 50, "x1": 150, "y0": 40, "y1": 52, "text": "Left line one"},
+        {"x0": 300, "x1": 400, "y0": 45, "y1": 57, "text": "Right col"},
+    ]
+    data = pk.encode_real_pdf(blocks)
+    assert data.startswith(b"%PDF")
+    assert pk.layout_text(data) == "Left line one\nLeft line two\nRight col"
+    # uncompressed stream variant
+    raw = pk.encode_real_pdf(blocks, compress=False)
+    assert pk.layout_text(raw) == "Left line one\nLeft line two\nRight col"
+
+
+def test_real_pdf_operators_and_strings():
+    """Hex strings, escape sequences (octal, parens), TJ arrays with kerning
+    numbers, Td line advances."""
+    import zlib
+
+    content = (
+        b"BT /F1 12 Tf 50 700 Td <48656C6C6F> Tj 0 -20 Td "
+        b"[(wor) -80 (ld)] TJ 0 -20 Td (esc \\(p\\) \\101\\\\x) Tj ET"
+    )
+    body = zlib.compress(content)
+    data = (
+        b"%PDF-1.4\n"
+        b"3 0 obj << /Type /Page /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length " + str(len(body)).encode()
+        + b" >> stream\n" + body + b"\nendstream endobj\n%%EOF"
+    )
+    assert pk.layout_text(data) == "Hello\nworld\nesc (p) A\\x"
+
+
+def test_real_pdf_no_text_layer_raises():
+    """Image-only real PDFs raise ValueError so the pipeline routes the span
+    to pass-through instead of emitting an empty text span."""
+    import zlib
+
+    body = zlib.compress(b"q 612 0 0 792 0 0 cm /Im0 Do Q")
+    data = (
+        b"%PDF-1.4\n4 0 obj << /Filter /FlateDecode /Length "
+        + str(len(body)).encode() + b" >> stream\n" + body + b"\nendstream endobj\n%%EOF"
+    )
+    with pytest.raises(ValueError):
+        pk.decode_real_pdf(data)
 
 
 def test_png_codec_roundtrip():

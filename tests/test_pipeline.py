@@ -243,3 +243,52 @@ def test_png_image_spans_decode_end_to_end(spark):
     assert got["p"][0]["text"] == got["p"][1]["text"]          # == MLIMG result
     assert got["p"][2] == {"kind": "image", "text": "jpeg-orig",
                            "media_ref": "m://p/2", "offset": 2}
+
+
+def test_real_pdf_spans_decode_end_to_end(spark):
+    """A REAL %PDF file rides the full pdf branch (DRM detect → media join →
+    stdlib text-layer parse → XY-cut) next to the MLPDF fixture form;
+    /Encrypt-flagged and image-only real PDFs pass through unchanged."""
+    import zlib
+
+    from micro_lab_ocr_spark.kernels import pdf as pk
+
+    blocks = [
+        {"x0": 50, "x1": 150, "y0": 40, "y1": 52, "text": "alpha"},
+        {"x0": 50, "x1": 150, "y0": 60, "y1": 72, "text": "beta"},
+    ]
+    real = pk.encode_real_pdf(blocks)
+    mlpdf = pk.encode_pdf(blocks)
+    encrypted = real.replace(b"/Type /Catalog", b"/Type /Catalog /Encrypt 9 0 R")
+    body = zlib.compress(b"q 612 0 0 792 0 0 cm /Im0 Do Q")
+    imageonly = (
+        b"%PDF-1.4\n4 0 obj << /Filter /FlateDecode /Length "
+        + str(len(body)).encode() + b" >> stream\n" + body + b"\nendstream endobj\n%%EOF"
+    )
+    media = [
+        ("m://q/0", real),
+        ("m://q/1", mlpdf),
+        ("m://q/2", encrypted),
+        ("m://q/3", imageonly),
+    ]
+    docs = [{"doc_id": "q", "spans": [
+        {"kind": "pdf", "text": "", "media_ref": "m://q/0", "offset": 0},
+        {"kind": "pdf", "text": "", "media_ref": "m://q/1", "offset": 1},
+        {"kind": "pdf", "text": "drm-orig", "media_ref": "m://q/2", "offset": 2},
+        {"kind": "pdf", "text": "img-orig", "media_ref": "m://q/3", "offset": 3}]}]
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame([(r, bytearray(c)) for r, c in media], MEDIA_SCHEMA)
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+           for r in px.normalize_spans(docs_df, media_df).collect()}
+    expected = ox.normalize_document("q", docs[0]["spans"], dict(media))
+    assert got["q"] == expected
+    assert got["q"][0]["kind"] == "text" and got["q"][0]["text"] == "alpha\nbeta"
+    assert got["q"][0]["text"] == got["q"][1]["text"]          # real == fixture
+    assert got["q"][2] == {"kind": "pdf", "text": "drm-orig",
+                           "media_ref": "m://q/2", "offset": 2}
+    assert got["q"][3] == {"kind": "pdf", "text": "img-orig",
+                           "media_ref": "m://q/3", "offset": 3}

@@ -119,7 +119,7 @@ def _ensure_media_corpus(n_docs: int = 36000) -> str:
     workload) dominate wall time."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(CORPUS_DIR, f".done_v2_{n_docs}_{SCALING_BUCKETS}")
+    marker = os.path.join(CORPUS_DIR, f".done_v3_{n_docs}_{SCALING_BUCKETS}")
     if os.path.exists(marker):
         return CORPUS_DIR
     from micro_lab_ocr_spark.session import get_spark
@@ -142,11 +142,19 @@ def _ensure_media_corpus(n_docs: int = 36000) -> str:
     # many files per bucket: a real corpus scan has thousands of splits —
     # the two-parallelism protocol must not be scan-split-bound at the high
     # level (write_docs repartitions by bucket; splits come from file sizing)
-    catalog.write_docs(spark, docs_df, f"{CORPUS_DIR}/docs_bucketed", n_buckets=SCALING_BUCKETS)
+    # bounded row groups: scan parallelism is row-group-granular — with one
+    # ~6-110MB file per bucket the default 128MB groups capped the decode
+    # kernel stage at 8 effective tasks regardless of cores (see
+    # catalog.write_docs docstring); 4/8MB groups give 100+ schedulable units
+    catalog.write_docs(
+        spark, docs_df, f"{CORPUS_DIR}/docs_bucketed", n_buckets=SCALING_BUCKETS,
+        row_group_bytes=4 * 1024 * 1024,
+    )
     catalog.write_media_copartitioned(
         spark, media_df, f"{CORPUS_DIR}/media_cp",
         owner_doc_id=F.split(F.col("media_ref"), "/").getItem(2),
         n_buckets=SCALING_BUCKETS,
+        row_group_bytes=8 * 1024 * 1024,
     )
     spark.stop()
     open(marker, "w").write("ok")

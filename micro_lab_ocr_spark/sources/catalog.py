@@ -67,9 +67,19 @@ def write_docs(
     path_or_table: str,
     n_buckets: int = 64,
     key_col: str = "doc_id",
+    row_group_bytes: int | None = None,
 ) -> None:
     """Write a table bucketed on ``key_col`` (docs on doc_id; the media table
-    uses media_ref)."""
+    uses media_ref).
+
+    ``row_group_bytes`` bounds the parquet row-group size. Scan parallelism
+    is ROW-GROUP-granular, not split-granular: a split processes only row
+    groups whose midpoint it covers, so a file with one default-128MB row
+    group is ONE task no matter how many splits the planner cuts (measured
+    on the scaling corpus: 8 one-group files capped the decode-kernel stage
+    at 8 effective tasks on 16 cores). Set it whenever files-per-bucket is
+    small relative to target parallelism; on a 10^12-doc corpus with
+    thousands of files per bucket the default is fine."""
     if iceberg_available(spark):
         spark.sql(
             ICEBERG_DOCS_DDL.format(catalog="spark_catalog", db="default", n_buckets=n_buckets)
@@ -77,13 +87,14 @@ def write_docs(
         df.writeTo(path_or_table).append()
         return
     # parquet fallback: directory bucketing by the same hash
-    (
+    w = (
         df.withColumn("bucket", bucket_expr(key_col, n_buckets))
         .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path_or_table)
     )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.partitionBy("bucket").parquet(path_or_table)
     write_layout_marker(path_or_table, n_buckets, key_col)
 
 
@@ -162,6 +173,7 @@ def write_media_copartitioned(
     path: str,
     owner_doc_id,
     n_buckets: int = 64,
+    row_group_bytes: int | None = None,
 ) -> None:
     """Write the media table CO-PARTITIONED with the docs layout: each media
     row lands in the bucket of its OWNING document (``owner_doc_id`` is a
@@ -169,14 +181,19 @@ def write_media_copartitioned(
     checkpoint run can then prune BOTH scans to 1/N of the bytes — without
     this, every bucket job re-reads the whole media table (N× total media
     IO per pass). On Iceberg: ``PARTITIONED BY (bucket(N, owner_doc_id))``
-    with the same hash."""
-    (
+    with the same hash.
+
+    ``row_group_bytes``: see :func:`write_docs` — binary-heavy media tables
+    with few files per bucket NEED bounded row groups or the decode-kernel
+    scan stage degrades to one task per file."""
+    w = (
         media.withColumn("bucket", F.pmod(F.xxhash64(owner_doc_id), F.lit(n_buckets)))
         .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
     )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.partitionBy("bucket").parquet(path)
     write_layout_marker(path, n_buckets, "owner_doc_id")
 
 

@@ -70,6 +70,12 @@ def test_grid_extract_no_extra_shuffles(spark):
     plan = plan_of(records)
     assert plan.count("ENSURE_REQUIREMENTS") == 0, "unexpected implicit re-shuffle"
     assert plan.count("REPARTITION_BY_NUM") >= 1
+    # the records path computes ALL page metadata (header detect, column
+    # map, spec vote) as window aggregates over the single page partitioning
+    # — a join would mean a branch re-reading the cells exchange (measured
+    # ~6x read amplification before the window rewrite)
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_op not in plan, f"{join_op} crept back into the records DAG"
 
 
 def test_ngram_jaccard_is_hash_join(spark):

@@ -11,19 +11,26 @@ job is faithful segmentation + decoding and the cleaning banks do the
 correction work downstream.
 
 Real PNG bytes decode through the pure-stdlib codec in kernels/png.py (zlib
-inflate + scanline unfiltering) and then ride the SAME binarize→segment→
+inflate + scanline unfiltering), real baseline JPEG through kernels/jpeg.py
+(numpy DCT + canonical Huffman); both then ride the SAME binarize→segment→
 decode path as the fixture raster — the Spark-side plumbing (binary column →
-Arrow batch → grid struct) is shared. JPEG stays an import-guarded stub (a
-DCT decoder needs an imaging library this container doesn't ship).
+Arrow batch → grid struct) is shared across all three containers.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
+from micro_lab_ocr_spark.kernels import jpeg as _jpeg
 from micro_lab_ocr_spark.kernels import png as _png
+
+# Decode failures a magic-valid-but-corrupt raster can raise. The pipeline's
+# image branch (and the oracle) catch exactly these and route the span to the
+# pass-through arm — one truncated blob must never fail a 10^12-doc job.
+DECODE_ERRORS = (ValueError, zlib.error, struct.error)
 
 # ---------------------------------------------------------------------------
 # 5×7 bitmap font over the grid alphabet. Rows are 5-bit integers, MSB = left.
@@ -325,17 +332,20 @@ def decode_image(data: bytes) -> list[tuple[int, int, str]]:
     cells keep their true column index; within a cell, inter-glyph gaps are
     run-length decoded into spaces.
 
-    Containers: the MLIMG fixture raster (1-bit, pre-binarized) and REAL PNG
-    bytes (stdlib codec in kernels/png.py; greyscale binarized at 128 — the
-    reference's scans are black-on-white). The recognition path downstream of
-    binarization is identical for both.
+    Containers: the MLIMG fixture raster (1-bit, pre-binarized), REAL PNG
+    bytes (stdlib codec in kernels/png.py), and REAL baseline JPEG bytes
+    (stdlib codec in kernels/jpeg.py); greyscale binarized at 128 — the
+    reference's scans are black-on-white. The recognition path downstream of
+    binarization is identical for all three.
     """
     if data.startswith(_png.PNG_MAGIC):
         img = (_png.decode_png(data) < 128).astype(np.uint8)
+    elif data.startswith(_jpeg.JPEG_MAGIC):
+        img = (_jpeg.decode_jpeg(data) < 128).astype(np.uint8)
     elif data.startswith(MAGIC):
         img = mlimg_bits(data)
     else:
-        raise ValueError("not a decodable raster (MLIMG or PNG)")
+        raise ValueError("not a decodable raster (MLIMG, PNG or JPEG)")
     height = img.shape[0]
 
     # --- rule detection: near-full-height vertical ink lines --------------
@@ -383,18 +393,14 @@ def decode_image(data: bytes) -> list[tuple[int, int, str]]:
     return cells
 
 
-def decode_real_image(data: bytes) -> list[tuple[int, int, str]]:  # pragma: no cover
-    """Decode a real raster. PNG is handled natively by :func:`decode_image`
-    (stdlib codec, kernels/png.py). JPEG remains a STUB: a DCT decoder needs
-    an imaging library this container doesn't ship; on a production cluster,
-    install pillow/opencv and binarize here — the downstream plumbing (grid
-    schema, batching) is unchanged."""
-    if data.startswith(_png.PNG_MAGIC):
+def decode_real_image(data: bytes) -> list[tuple[int, int, str]]:
+    """Decode a real raster. PNG (stdlib codec, kernels/png.py) and baseline
+    JPEG (stdlib codec, kernels/jpeg.py) are handled natively by
+    :func:`decode_image`; other formats (TIFF, WebP, progressive JPEG)
+    raise ``ValueError`` so the caller routes the bytes to the pass-through
+    arm. On a production cluster, swap in pillow/opencv behind this same
+    signature — the downstream plumbing (grid schema, batching) is
+    unchanged."""
+    if data.startswith(_png.PNG_MAGIC) or data.startswith(_jpeg.JPEG_MAGIC):
         return decode_image(data)
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "JPEG decode requires an imaging library not present in this environment"
-        ) from exc
-    raise NotImplementedError("wire PIL-based binarization here")
+    raise ValueError("unsupported raster format (PNG and baseline JPEG decode natively)")

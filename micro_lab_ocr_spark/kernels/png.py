@@ -6,9 +6,9 @@ bytes (RFC 2083 §6). This module implements enough of the spec to make the
 OCR path run on REAL image bytes — 8-bit greyscale and truecolor, no
 interlace — proving the "plumbing is identical" claim for the media branch
 (the reference feeds real page images to its OCR APIs,
-`backend.py:177-205`). JPEG stays out of scope (a DCT decoder is not a
-sensible stdlib exercise); non-PNG bytes pass through the pipeline unchanged
-via the decodability predicate in operators/drm.py.
+`backend.py:177-205`). Baseline JPEG decodes through kernels/jpeg.py; other
+raster bytes pass through the pipeline unchanged via the decodability
+predicate in operators/drm.py.
 
 Decode is numpy-vectorized for filters None/Sub/Up (Sub's left-neighbor
 recurrence is a per-channel uint8 cumulative sum — wrap-around mod 256 is

@@ -21,6 +21,7 @@ PDF_MAGIC = b"%PDF"
 MLPDF_MAGIC = b"MLPDF"
 MLIMG_MAGIC = b"MLIMG"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
 ENCRYPT_FLAG = b"/Encrypt"
 
 
@@ -70,10 +71,14 @@ def is_decodable(content: Column) -> Column:
 
 def is_decodable_image(content: Column) -> Column:
     """Routing predicate for the OCR kernel: rasters this build decodes —
-    the MLIMG fixture container and real PNG (stdlib codec, kernels/png.py).
-    Anything else (JPEG, junk bytes) passes through unchanged rather than
-    crashing the decode stage."""
+    the MLIMG fixture container, real PNG (stdlib codec, kernels/png.py)
+    and real baseline JPEG (stdlib codec, kernels/jpeg.py). Anything else
+    (TIFF, WebP, junk bytes) passes through unchanged rather than crashing
+    the decode stage; magic-valid bytes whose PAYLOAD fails to decode
+    (truncation, progressive JPEG) are caught in the kernel and routed to
+    the same pass-through arm (pipeline/extract._ocr_grids)."""
     return F.when(content.isNull(), F.lit(False)).otherwise(
         F.startswith(content, F.lit(MLIMG_MAGIC))
         | F.startswith(content, F.lit(PNG_MAGIC))
+        | F.startswith(content, F.lit(JPEG_MAGIC))
     )

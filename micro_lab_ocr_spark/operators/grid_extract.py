@@ -54,14 +54,32 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
     (group_id, strain_rank, row). pages: one row per input page with
     ``date_info`` (nullable struct) and ``header_row`` — dates are extracted
     even for pages that yield no records (`backend_preservation.py:284-292`).
+
+    PASSTHROUGH MODE: when ``grids`` additionally carries page-constant
+    columns ``media_ref``, ``span_text``, ``ok`` (the pipeline's OCR-kernel
+    output with decode-failure routing), they ride through as extra grouping
+    keys — constant per page, so the groups are unchanged — and come back on
+    ``pages``. Keys, not joins, because every consumer of the page-key
+    exchange must need the IDENTICAL column set: a branch that prunes
+    differently canonicalizes to a different exchange and re-runs the OCR
+    kernel (pipeline/extract.py). ``explode_outer`` (not explode) keeps
+    failed/empty pages present in ``pages`` so the pipeline can route them.
     """
     spark = grids.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    passthrough = [c for c in ("media_ref", "span_text", "ok") if c in grids.columns]
+    keys = [*PAGE, *passthrough]
     cells = (
-        grids.repartition(n_part, *PAGE)
-        .select(*PAGE, F.explode("cells").alias("cell"))
-        .select(*PAGE, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"),
+        # explicit page-key not-null filter BELOW the exchange: downstream
+        # joins infer different IsNotNull constraints per branch (doc_id-only
+        # vs doc_id+offset), which would canonicalize the two copies of this
+        # exchange differently and break exchange reuse — the explicit
+        # superset filter subsumes both inferences, keeping one exchange
+        grids.where(F.col(PAGE[0]).isNotNull() & F.col(PAGE[1]).isNotNull())
+        .repartition(n_part, *PAGE)
+        .select(*keys, F.explode_outer("cells").alias("cell"))
+        .select(*keys, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"),
                 F.col("cell.text").alias("text"))
     )
 
@@ -75,19 +93,23 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.nullif(F.regexp_extract(fixed, r"^(\d{1,2})[/\-.](\d{1,2})$", 2), F.lit("")),
         F.nullif(F.regexp_extract(fixed, r"^(\d{1,2})\s+(\d{1,2})$", 2), F.lit("")),
     )
+    # cell structs wrapped in when(col IS NOT NULL): the explode_outer null
+    # row of an empty/failed page must not reach map_from_entries (null map
+    # key) — collect_list skips the null structs, real cells always have col
+    cell_struct = F.when(F.col("col").isNotNull(), F.struct("col", "text"))
     rows = (
         cells.withColumn("date_m", date_m)
         .withColumn("date_d", date_d)
-        .groupBy(*PAGE, "row")
+        .groupBy(*keys, "row")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("col", "text"))), lambda x: x["text"]
+                    F.array_sort(F.collect_list(cell_struct)), lambda x: x["text"]
                 ),
                 " ",
             ).alias("row_text"),
             F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("col", "text")))
+                F.array_sort(F.collect_list(cell_struct))
             ).alias("row_map"),
             F.max(
                 (F.regexp_like(F.trim("text"), F.lit(_CFU_VALUE_RE))
@@ -128,7 +150,7 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
             ),
         )
     )
-    pages = rows.groupBy(*PAGE).agg(
+    pages = rows.groupBy(*keys).agg(
         hdr1.alias("hdr1"), cand.alias("cand"), pass1.alias("pass1"), pass2.alias("pass2")
     )
     pages = pages.withColumn(
@@ -358,4 +380,4 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("strain_rank", C.strain_rank(F.col("strain")))
         .drop("prev_test", "new_group")
     )
-    return records, pages.select(*PAGE, "date_info", "header_row")
+    return records, pages.select(*keys, "date_info", "header_row")

@@ -11,6 +11,7 @@ import re
 from micro_lab_ocr_spark import banks, spanspec
 from micro_lab_ocr_spark.kernels import html as html_kernel
 from micro_lab_ocr_spark.kernels import ocr as ocr_kernel
+from micro_lab_ocr_spark.kernels import jpeg as jpeg_kernel
 from micro_lab_ocr_spark.kernels import pdf as pdf_kernel
 from micro_lab_ocr_spark.kernels import png as png_kernel
 from micro_lab_ocr_spark.oracle import cleaners as oc
@@ -391,16 +392,23 @@ def normalize_document(doc_id: str, spans: list[dict], media: dict[str, bytes]) 
             and (
                 media[ref].startswith(ocr_kernel.MAGIC)
                 or media[ref].startswith(png_kernel.PNG_MAGIC)
+                or media[ref].startswith(jpeg_kernel.JPEG_MAGIC)
             )
         ):
-            # only rasters the OCR kernel decodes (MLIMG fixture container or
-            # real PNG); other bytes fall to the pass-through arm
-            grid = grid_from_cells(ocr_kernel.decode_image(media[ref]))
-            date_info = oc.extract_date_info_from_grid(grid)
-            records = extract_grid_records(grid)
-            out.append(
-                {"kind": "table", "text": spanspec.serialize_table(date_info, records), "media_ref": ref}
-            )
+            # only rasters the OCR kernel decodes (MLIMG fixture container,
+            # real PNG or real baseline JPEG); other bytes — and magic-valid
+            # bytes whose payload fails to decode — fall to the pass-through
+            # arm (same contract as the pdf branch's no-text-layer fallback)
+            try:
+                grid = grid_from_cells(ocr_kernel.decode_image(media[ref]))
+            except ocr_kernel.DECODE_ERRORS:
+                out.append({"kind": kind, "text": text, "media_ref": ref})
+            else:
+                date_info = oc.extract_date_info_from_grid(grid)
+                records = extract_grid_records(grid)
+                out.append(
+                    {"kind": "table", "text": spanspec.serialize_table(date_info, records), "media_ref": ref}
+                )
         elif (
             kind == "pdf"
             and ref in media

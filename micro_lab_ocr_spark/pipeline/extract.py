@@ -8,7 +8,8 @@ Dataflow (SURVEY §3.1 lifecycle, Spark-first):
       pdf         → DRM detect → media scan ⋈ broadcast(refs) →
                     mapInPandas(XY-cut kernel)                  [no content shuffle]
       image       → media scan ⋈ broadcast(refs) →
-                    mapInPandas(OCR kernel) ──►
+                    mapInPandas(OCR kernel: MLIMG/PNG/JPEG,
+                    decode failure → ok=false) ──►
                     grid_extract (pure Catalyst)                [1 shuffle: page]
       table_html  → mapInPandas(Upstage page kernel) ──►
                     W2 date-carry window over (doc_id, offset)  [1 shuffle: doc_id]
@@ -88,21 +89,35 @@ def _pdf_layout(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _ocr_grids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """OCR decode with per-row failure routing: magic-valid bytes whose
+    payload fails to decode (truncated PNG/JPEG, progressive JPEG, corrupt
+    MLIMG) yield ``ok=false`` and carry the ORIGINAL span text, so the
+    pipeline routes them to the pass-through arm — one corrupt blob must
+    never fail a 10^12-doc job (same contract as the pdf branch's
+    no-text-layer fallback)."""
     from micro_lab_ocr_spark.kernels import ocr as ok
 
     for pdf in it:
-        cells = [
-            [
-                {"row": r, "col": c, "text": t}
-                for r, c, t in ok.decode_image(bytes(content))
-            ]
-            for content in pdf["content"]
-        ]
+        cells, oks = [], []
+        for content in pdf["content"]:
+            try:
+                cells.append(
+                    [
+                        {"row": r, "col": c, "text": t}
+                        for r, c, t in ok.decode_image(bytes(content))
+                    ]
+                )
+                oks.append(True)
+            except ok.DECODE_ERRORS:
+                cells.append([])
+                oks.append(False)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "offset": pdf["offset"],
                 "media_ref": pdf["media_ref"],
+                "span_text": pdf["span_text"],
+                "ok": oks,
                 "cells": cells,
             }
         )
@@ -316,9 +331,11 @@ def normalize_spans(
     )
 
     # ---- image branch: OCR → Catalyst grid extraction ---------------------
-    # Only decodable rasters (MLIMG fixture container or real PNG — stdlib
-    # codec) reach the OCR kernel; other bytes (JPEG, junk) pass through
-    # unchanged like dangling refs — a 10^12-doc run must not crash on one
+    # Only decodable-magic rasters (MLIMG fixture container, real PNG, real
+    # baseline JPEG — stdlib codecs) reach the OCR kernel; other bytes
+    # (TIFF, junk) pass through unchanged like dangling refs, and
+    # magic-valid-but-corrupt payloads come back from the kernel with
+    # ok=false and pass through too — a 10^12-doc run must not crash on one
     # undecodable blob.
     img_decodable = drm.is_decodable_image(F.col("content"))
     image_missing = image_spans.join(media_keys, "media_ref", "left_anti")
@@ -328,19 +345,28 @@ def normalize_spans(
         .join(b(image_spans), "media_ref")
         .select(*span_cols)
     )
-    decodable_keys = b(media.where(img_decodable).select("media_ref"))
-    image_matched_refs = image_spans.join(decodable_keys, "media_ref", "leftsemi")
     grids = (
         media.where(img_decodable)
-        .join(b(image_spans.select("doc_id", "offset", "media_ref")), "media_ref")
-        .select("doc_id", "offset", "media_ref", "content")
+        .join(b(image_spans.select("doc_id", "offset", "media_ref", "text")), "media_ref")
+        .select(
+            "doc_id", "offset", "media_ref",
+            F.col("text").alias("span_text"), "content",
+        )
         .mapInPandas(
             _ocr_grids,
-            "doc_id string, offset int, media_ref string, "
-            "cells array<struct<row:int,col:int,text:string>>",
+            "doc_id string, offset int, media_ref string, span_text string, "
+            "ok boolean, cells array<struct<row:int,col:int,text:string>>",
         )
     )
-    records, pages = grid_extract.extract(grids.select("doc_id", "offset", "cells"))
+    # The kernel output feeds grid_extract ONLY; span identity, the original
+    # text and the decode-failure flag ride THROUGH the grid DAG as
+    # page-constant grouping keys (see grid_extract.extract passthrough
+    # mode), so every consumer of the page-key exchange needs the identical
+    # column set and exchange reuse keeps the OCR kernel single-eval.
+    # (Branch-specialized consumers — e.g. a separate failed-rows arm that
+    # prunes `cells` — canonicalize to DIFFERENT exchanges and re-run the
+    # kernel per branch: measured 3× media decodes before this structure.)
+    records, pages = grid_extract.extract(grids)
     page_text = (
         records.alias("r")
         .groupBy("doc_id", "offset")
@@ -363,18 +389,21 @@ def normalize_spans(
             ).alias("lines"),
         )
     )
-    # join from the PRE-kernel span refs, not `grids` — joining grids here
-    # would evaluate the OCR kernel a second time (it isn't needed: only the
-    # span identity is, and pages/page_text carry the decoded results)
+    # `pages` covers every matched decodable-magic row 1:1 (explode_outer in
+    # grid_extract keeps failed/empty pages) and carries span identity plus
+    # the ok flag, so the whole image output — table spans AND decode-failure
+    # pass-throughs — is one CASE over pages ⋈ page_text (both already on
+    # the page partitioning: no further shuffle)
     image_out = (
-        image_matched_refs.select("doc_id", "offset", "media_ref")
-        .join(pages.select("doc_id", "offset", "date_info"), ["doc_id", "offset"], "left")
-        .join(page_text, ["doc_id", "offset"], "left")
+        pages.join(page_text, ["doc_id", "offset"], "left")
         .select(
             "doc_id",
             "offset",
-            F.lit("table").alias("kind"),
-            _with_dates(_dates_line(F.col("date_info")), F.col("lines")).alias("text"),
+            F.when(F.col("ok"), F.lit("table")).otherwise(F.lit("image")).alias("kind"),
+            F.when(
+                F.col("ok"),
+                _with_dates(_dates_line(F.col("date_info")), F.col("lines")),
+            ).otherwise(F.col("span_text")).alias("text"),
             "media_ref",
         )
         .unionByName(image_missing)

@@ -71,6 +71,12 @@ def get_spark(
         # local[16] from this change alone). 512 rows keeps batches ~4 MB
         # while still amortizing Arrow/IPC overhead for text kernels.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # shuffle / broadcast / spill block codec ($SPARK_GRAFT_IO_CODEC to
+        # override). The extraction job's scaling limiter is the window/agg
+        # stage's memory traffic (shuffled text rows), so compression ratio
+        # buys scaling headroom on a shared memory subsystem or network
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         # deterministic timestamps in tests regardless of host TZ
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))

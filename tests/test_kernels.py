@@ -211,3 +211,78 @@ def test_png_decode_rgb_and_unsupported():
 
     with pytest.raises(ValueError):
         png.decode_png(bad)
+
+
+def test_jpeg_codec_roundtrip():
+    """Stdlib baseline JPEG codec: smooth content round-trips at high PSNR,
+    binary (page-scan-like) content binarizes back exactly, restart markers
+    reproduce the plain encoding, odd sizes crop correctly."""
+    import numpy as np
+
+    from micro_lab_ocr_spark.kernels import jpeg
+
+    # smooth gradient: lossy but high-fidelity
+    grad = (np.linspace(0, 255, 64)[None, :] * np.ones((48, 1))).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(grad, quality=90))
+    assert dec.shape == grad.shape
+    mse = float(np.mean((dec.astype(float) - grad.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 40.0
+
+    # binary ink-on-white content must binarize back exactly at q95
+    rng = np.random.default_rng(7)
+    binimg = np.where(rng.random((40, 72)) < 0.2, 0, 255).astype(np.uint8)
+    dec2 = jpeg.decode_jpeg(jpeg.encode_jpeg(binimg, quality=95))
+    assert ((dec2 < 128) == (binimg < 128)).all()
+
+    # restart markers: DRI/RSTn stream decodes identically to the plain one
+    img = (rng.random((40, 72)) * 255).astype(np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90))
+    for ri in (1, 3, 100):
+        assert (jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90, restart_interval=ri)) == plain).all()
+
+    # non-multiple-of-8 sizes crop to the exact frame dims
+    for shape in [(1, 1), (7, 9), (17, 33)]:
+        a = (rng.random(shape) * 255).astype(np.uint8)
+        assert jpeg.decode_jpeg(jpeg.encode_jpeg(a, 85)).shape == shape
+
+
+def test_jpeg_decode_rejects_unsupported():
+    """Progressive / truncated / non-JPEG bytes raise ValueError (the
+    pipeline routes exactly these to the pass-through arm)."""
+    import numpy as np
+    import pytest
+
+    from micro_lab_ocr_spark.kernels import jpeg
+
+    img = (np.random.default_rng(1).random((16, 16)) * 255).astype(np.uint8)
+    enc = jpeg.encode_jpeg(img, 90)
+    # flip SOF0 -> SOF2 (progressive)
+    bad = bytearray(enc)
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(enc[: len(enc) // 2])  # truncated entropy stream
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xe0 corrupt payload")  # no scan
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+
+
+def test_jpeg_decode_matches_mlimg():
+    """A grid rendered to MLIMG and the same bitmap as a REAL baseline JPEG
+    must decode to the identical sparse cell grid — the lossy DCT round-trip
+    must not flip the binarization of a page scan (mirrors
+    test_png_decode_matches_mlimg; closes the last raster-format gap)."""
+    import numpy as np
+
+    from micro_lab_ocr_spark.kernels import jpeg, ocr
+
+    cells = [(0, 0, "ABC 123"), (0, 2, "<10"), (1, 1, "5.5X105"), (2, 0, "E.coli")]
+    mlimg = ocr.render_grid_image(cells)
+    gray = np.where(ocr.mlimg_bits(mlimg).astype(bool), 0, 255).astype(np.uint8)
+    jpeg_bytes = jpeg.encode_jpeg(gray, quality=95)
+    assert jpeg_bytes.startswith(jpeg.JPEG_MAGIC)
+    assert ocr.decode_image(jpeg_bytes) == ocr.decode_image(mlimg)
+    # and with restart markers (what real scanners emit)
+    assert ocr.decode_image(jpeg.encode_jpeg(gray, 95, restart_interval=8)) == ocr.decode_image(mlimg)

@@ -292,3 +292,45 @@ def test_real_pdf_spans_decode_end_to_end(spark):
                            "media_ref": "m://q/2", "offset": 2}
     assert got["q"][3] == {"kind": "pdf", "text": "img-orig",
                            "media_ref": "m://q/3", "offset": 3}
+
+
+def test_jpeg_image_spans_decode_end_to_end(spark):
+    """A REAL baseline JPEG raster rides the full image branch (media join →
+    OCR kernel → grid extraction) and produces the same table span as the
+    MLIMG form; a magic-valid-but-CORRUPT raster (truncated PNG) comes back
+    from the kernel with ok=false and passes through unchanged — decode
+    failure must never crash the job or fabricate an empty table span."""
+    import numpy as np
+
+    from micro_lab_ocr_spark.kernels import jpeg as jk
+    from micro_lab_ocr_spark.kernels import ocr as ok
+    from micro_lab_ocr_spark.kernels import png as pk
+
+    cells = [(0, 0, "S.aureus"), (0, 1, "<10"), (1, 0, "E.coli"), (1, 1, "5.5X105")]
+    mlimg = ok.render_grid_image(cells)
+    gray = np.where(ok.mlimg_bits(mlimg).astype(bool), 0, 255).astype(np.uint8)
+    jpeg_bytes = jk.encode_jpeg(gray, quality=95, restart_interval=16)
+    corrupt_png = pk.bitmap_to_png(ok.mlimg_bits(mlimg))[:40]  # magic ok, payload truncated
+    media = [
+        ("m://j/0", jpeg_bytes),
+        ("m://j/1", mlimg),
+        ("m://j/2", corrupt_png),
+    ]
+    docs = [{"doc_id": "j", "spans": [
+        {"kind": "image", "text": "", "media_ref": "m://j/0", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "m://j/1", "offset": 1},
+        {"kind": "image", "text": "orig-text", "media_ref": "m://j/2", "offset": 2}]}]
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame([(r, bytearray(c)) for r, c in media], MEDIA_SCHEMA)
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+           for r in px.normalize_spans(docs_df, media_df).collect()}
+    expected = ox.normalize_document("j", docs[0]["spans"], dict(media))
+    assert got["j"] == expected
+    assert got["j"][0]["kind"] == "table"                      # JPEG decoded
+    assert got["j"][0]["text"] == got["j"][1]["text"]          # == MLIMG result
+    assert got["j"][2] == {"kind": "image", "text": "orig-text",
+                           "media_ref": "m://j/2", "offset": 2}

@@ -158,3 +158,58 @@ def test_shuffle_refs_media_join_content_stationary(spark, tmp_path):
             assert got[d["doc_id"]] == ox.normalize_document(d["doc_id"], d["spans"], media_map)
     finally:
         spark.sql("DROP TABLE IF EXISTS media_bkt_test")
+
+
+def test_image_kernel_evaluates_once(spark):
+    """The OCR kernel must decode each media row exactly ONCE at runtime.
+    Exchange reuse is fragile: consumers that prune different columns (or
+    acquire different inferred not-null filters) canonicalize to DIFFERENT
+    exchanges and silently re-run the kernel per branch — measured 3x media
+    decodes before the passthrough-keys structure (pipeline/extract.py,
+    grid_extract.extract). Counted with an accumulator, not plan text,
+    because AQE prints reused stages with their full subtree."""
+    from micro_lab_ocr_spark.pipeline import extract as px
+    from micro_lab_ocr_spark.sources import fixtures
+
+    acc = spark.sparkContext.accumulator(0)
+    orig = px._ocr_grids
+
+    def counting(it):
+        def gen():
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+        return orig(gen())
+
+    docs, media, _ = fixtures.generate_corpus(n_docs=12, seed=5)
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media_df = spark.createDataFrame(
+        [(m["media_ref"], bytearray(m["content"])) for m in media],
+        "media_ref string, content binary",
+    )
+    media_map = {m["media_ref"]: m["content"] for m in media}
+    expected = sum(
+        1 for d in docs for s in d["spans"]
+        if s["kind"] == "image" and media_map.get(s["media_ref"]) is not None
+        and (media_map[s["media_ref"]].startswith(b"MLIMG")
+             or media_map[s["media_ref"]].startswith(b"\x89PNG")
+             or media_map[s["media_ref"]].startswith(b"\xff\xd8\xff"))
+    )
+    assert expected > 0
+    old = px._ocr_grids
+    px._ocr_grids = counting
+    try:
+        out = px.normalize_spans(docs_df, media_df)
+        out.collect()
+    finally:
+        px._ocr_grids = old
+    assert acc.value == expected, (
+        f"OCR kernel processed {acc.value} rows for {expected} media rows — "
+        "a consumer branch re-evaluates the decode stage"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan

@@ -286,3 +286,89 @@ def test_jpeg_decode_matches_mlimg():
     assert ocr.decode_image(jpeg_bytes) == ocr.decode_image(mlimg)
     # and with restart markers (what real scanners emit)
     assert ocr.decode_image(jpeg.encode_jpeg(gray, 95, restart_interval=8)) == ocr.decode_image(mlimg)
+
+
+def test_jpeg_color_444_decodes_to_luma():
+    """3-component 4:4:4 YCbCr decodes via the multi-component scan loop and
+    reduces to the Y plane; subsampled chroma (4:2:0) raises ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from micro_lab_ocr_spark.kernels import jpeg
+
+    rng = np.random.default_rng(9)
+    y = (rng.random((16, 24)) * 255).astype(np.uint8)
+    flat = np.full_like(y, 128)  # neutral chroma planes
+
+    # build a 3-component 4:4:4 stream from the module's own entropy coder:
+    # encode each plane as a 1-component image, then splice the per-block
+    # bitstreams is fragile — instead interleave blocks manually
+    qt = jpeg._quality_scale(jpeg.QTABLE_LUMA, 92)
+
+    def blockify(img):
+        h, w = img.shape
+        img = np.pad(img, ((0, -h % 8), (0, -w % 8)), mode="edge")
+        bh, bw = img.shape[0] // 8, img.shape[1] // 8
+        blocks = img.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(float) - 128.0
+        coef = np.einsum("ij,njk,lk->nil", jpeg._DCT_A, blocks, jpeg._DCT_A)
+        return np.round(coef / qt[None]).astype(np.int64).reshape(-1, 64)[:, jpeg.ZIGZAG]
+
+    planes = [blockify(p) for p in (y, flat, flat)]
+    dc_codes = jpeg._canonical_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    ac_codes = jpeg._canonical_codes(jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+    bw_out = jpeg._BitWriter()
+    preds = [0, 0, 0]
+    for m in range(planes[0].shape[0]):  # MCU-interleaved: Y, Cb, Cr per MCU
+        for ci in range(3):
+            row = planes[ci][m]
+            diff = int(row[0]) - preds[ci]
+            preds[ci] = int(row[0])
+            size = abs(diff).bit_length()
+            ln, code = dc_codes[size]
+            bw_out.put(code, ln)
+            if size:
+                bw_out.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            nz = np.flatnonzero(row[1:])
+            last = nz[-1] + 1 if len(nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(row[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    bw_out.put(code, ln)
+                    run -= 16
+                size = abs(v).bit_length()
+                ln, code = ac_codes[(run << 4) | size]
+                bw_out.put(code, ln)
+                bw_out.put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last < 63:
+                ln, code = ac_codes[0x00]
+                bw_out.put(code, ln)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def frame(sampling):
+        sof_comps = b"".join(bytes([cid, sampling if cid == 1 else 0x11, 0]) for cid in (1, 2, 3))
+        return (
+            b"\xff\xd8"
+            + seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt.reshape(64)[jpeg.ZIGZAG]))
+            + seg(0xFFC0, struct.pack(">BHHB", 8, 16, 24, 3) + sof_comps)
+            + seg(0xFFC4, b"\x00" + bytes(jpeg.DC_LUMA_BITS) + bytes(jpeg.DC_LUMA_VALS)
+                  + b"\x10" + bytes(jpeg.AC_LUMA_BITS) + bytes(jpeg.AC_LUMA_VALS))
+            + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+            + bw_out.flush() + b"\xff\xd9"
+        )
+
+    dec = jpeg.decode_jpeg(frame(0x11))
+    ref = jpeg.decode_jpeg(jpeg.encode_jpeg(y, 92))  # same quant path, gray
+    assert dec.shape == (16, 24)
+    assert int(np.abs(dec.astype(int) - ref.astype(int)).max()) == 0  # identical Y path
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(frame(0x22))  # 4:2:0 subsampled chroma unsupported

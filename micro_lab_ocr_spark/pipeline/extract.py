@@ -46,6 +46,13 @@ SPAN_SCHEMA = "doc_id string, offset int, kind string, text string, media_ref st
 OUT_FIELDS = ["doc_id", "offset", "kind", "text", "media_ref"]
 
 
+def _slim_pagetext() -> bool:
+    """Opt-in page_text payload slimming (read at plan-construction time)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SLIM_PAGETEXT", "0") == "1"
+
+
 # ---------------------------------------------------------------------------
 # Arrow kernels (mapInPandas iterators — the only Python in the plan)
 # ---------------------------------------------------------------------------
@@ -367,25 +374,41 @@ def normalize_spans(
     # prunes `cells` — canonicalize to DIFFERENT exchanges and re-run the
     # kernel per branch: measured 3× media decodes before this structure.)
     records, pages = grid_extract.extract(grids)
+    # Page-line assembly. Sort key (group_id, strain_rank, row) is unique per
+    # page — `row` is the grid row index, unique within a group — so the
+    # record fields after it in the struct are dead weight as tie-breakers.
+    # SPARK_GRAFT_SLIM_PAGETEXT=1 pre-concats the 9 record fields into the
+    # final "|"-joined line BEFORE collect_list, so the sort/agg stage (the
+    # scaling run's binding stage: 95% JVM-CPU, eff 0.51 at 4→16 cores)
+    # carries a 4-field struct instead of 12. Identical output (equivalence
+    # pinned by test_slim_pagetext_equivalent); default-off until the
+    # recorded BENCH/BASELINE.md scaling samples are re-run against it.
+    if _slim_pagetext():
+        collected = F.collect_list(
+            F.struct(
+                "r.group_id", "r.strain_rank", "r.row",
+                F.concat_ws(
+                    "|", *[F.col(f"r.{f}") for f in spanspec.RECORD_FIELDS]
+                ).alias("line"),
+            )
+        )
+        line_of = lambda s: s.getField("line")  # noqa: E731
+    else:
+        collected = F.collect_list(
+            F.struct(
+                "r.group_id", "r.strain_rank", "r.row",
+                *[F.col(f"r.{f}").alias(f) for f in spanspec.RECORD_FIELDS],
+            )
+        )
+        line_of = lambda s: F.concat_ws(  # noqa: E731
+            "|", *[s.getField(f) for f in spanspec.RECORD_FIELDS]
+        )
     page_text = (
         records.alias("r")
         .groupBy("doc_id", "offset")
         .agg(
             F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "r.group_id", "r.strain_rank", "r.row",
-                                *[F.col(f"r.{f}").alias(f) for f in spanspec.RECORD_FIELDS],
-                            )
-                        )
-                    ),
-                    lambda s: F.concat_ws(
-                        "|", *[s.getField(f) for f in spanspec.RECORD_FIELDS]
-                    ),
-                ),
-                "\n",
+                F.transform(F.array_sort(collected), line_of), "\n"
             ).alias("lines"),
         )
     )

@@ -334,3 +334,24 @@ def test_jpeg_image_spans_decode_end_to_end(spark):
     assert got["j"][0]["text"] == got["j"][1]["text"]          # == MLIMG result
     assert got["j"][2] == {"kind": "image", "text": "orig-text",
                            "media_ref": "m://j/2", "offset": 2}
+
+
+def test_slim_pagetext_equivalent(spark, corpus, engine_result, monkeypatch):
+    """SPARK_GRAFT_SLIM_PAGETEXT=1 pre-concats record fields before the
+    page_text collect_list (slimming the sort/agg payload — the scaling
+    protocol's binding stage). Output must be byte-identical: the sort key
+    (group_id, strain_rank, row) is unique per page, so dropping the record
+    fields from the struct tail can never change the ordering."""
+    monkeypatch.setenv("SPARK_GRAFT_SLIM_PAGETEXT", "1")
+    docs, media, _ = corpus
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame(
+        [(m["media_ref"], bytearray(m["content"])) for m in media], MEDIA_SCHEMA
+    )
+    slim = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+            for r in px.normalize_spans(docs_df, media_df).collect()}
+    assert slim == engine_result

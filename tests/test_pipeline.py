@@ -337,12 +337,12 @@ def test_jpeg_image_spans_decode_end_to_end(spark):
 
 
 def test_slim_pagetext_equivalent(spark, corpus, engine_result, monkeypatch):
-    """SPARK_GRAFT_SLIM_PAGETEXT=1 pre-concats record fields before the
-    page_text collect_list (slimming the sort/agg payload — the scaling
-    protocol's binding stage). Output must be byte-identical: the sort key
-    (group_id, strain_rank, row) is unique per page, so dropping the record
-    fields from the struct tail can never change the ordering."""
-    monkeypatch.setenv("SPARK_GRAFT_SLIM_PAGETEXT", "1")
+    """The default pre-concats record fields before the page_text
+    collect_list (slimming the sort/agg payload — the scaling protocol's
+    binding stage). The unslimmed mode (SPARK_GRAFT_SLIM_PAGETEXT=0) must be
+    byte-identical: the sort key (group_id, strain_rank, row) is unique per
+    page, so the record fields in the struct tail never act as tie-breakers."""
+    monkeypatch.setenv("SPARK_GRAFT_SLIM_PAGETEXT", "0")
     docs, media, _ = corpus
     docs_df = spark.createDataFrame(
         [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])

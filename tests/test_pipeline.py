@@ -355,3 +355,29 @@ def test_slim_pagetext_equivalent(spark, corpus, engine_result, monkeypatch):
     slim = {r["doc_id"]: [s.asDict() for s in r["spans"]]
             for r in px.normalize_spans(docs_df, media_df).collect()}
     assert slim == engine_result
+
+
+def test_offset_only_sort_equivalent(spark, corpus, engine_result, monkeypatch):
+    """SPARK_GRAFT_SORT_OFFSET=1 sorts the reassembly span array with a
+    comparator over the int offset alone instead of the default lexicographic
+    struct compare. offsets are unique per doc after the branch union (each
+    source span yields at most one output row keyed by its original offset),
+    so the kind/text/media_ref tail never acts as a tie-breaker and the
+    output must be byte-identical — in both the plain and the skew-salted
+    reassembly branches."""
+    monkeypatch.setenv("SPARK_GRAFT_SORT_OFFSET", "1")
+    docs, media, _ = corpus
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs],
+        DOCS_SCHEMA,
+    )
+    media_df = spark.createDataFrame(
+        [(m["media_ref"], bytearray(m["content"])) for m in media], MEDIA_SCHEMA
+    )
+    plain = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+             for r in px.normalize_spans(docs_df, media_df).collect()}
+    assert plain == engine_result
+    salted = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+              for r in px.normalize_spans(docs_df, media_df, salt_buckets=4).collect()}
+    assert salted == engine_result

@@ -48,6 +48,14 @@ def get_spark(
         # satisfy joins/aggs keyed on supersets — drops every
         # ENSURE_REQUIREMENTS re-shuffle in the grid-extraction DAG
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # ObjectHashAggregate sort-based fallback stays at the DEFAULT (128
+        # keys): an A/B probe of the production job at local[16] measured the
+        # raised-threshold hash path at +33% executor CPU and 4× the GC of
+        # the fallback (the map holds every group's collect buffer live;
+        # the fallback streams groups off one sort the partitioning already
+        # paid for). $SPARK_GRAFT_AGG_FALLBACK overrides for re-measurement.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                os.environ.get("SPARK_GRAFT_AGG_FALLBACK", "128"))
         # --- scans -------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # floor the scan split count at 8×cores: on a 100 TB corpus the

@@ -251,21 +251,37 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .withColumn("header_eff",
                     F.when(F.col("header_row") == -1, F.lit(0)).otherwise(F.col("header_row")))
-        .withColumn("hdr_map", F.first(
-            F.when(F.col("row") == F.col("header_eff"), F.col("row_map")), ignorenulls=True
-        ).over(wfull))
     )
-    hm = F.col("hdr_map")
+
+    # ---- header-column classification, ONCE PER PAGE ---------------------
+    # The classifiers read only the header row's col→text map, so their
+    # results are page-constant — but as plain projections over a window-
+    # carried header map they re-ran the interpreted _cols_where lambdas on
+    # EVERY row of the page (8 classifiers × map entries × every row: the
+    # dominant interpreted cost of the binding stage, measured on the
+    # BENCH/probes decomposition). Each classifier now evaluates on the one
+    # row WHERE row == header_eff — when() short-circuits everywhere else —
+    # and first(ignorenulls) broadcasts the resulting column INDEX over the
+    # page frame, so the header map itself never rides the window payload.
+    # Value-identical: only the header row can be non-null, so ignorenulls
+    # picks exactly the value the hdr_map projection used to compute, and a
+    # classifier that finds no column stays null through the same path.
+    def _page_col(expr: Column) -> Column:
+        return F.first(
+            F.when(F.col("row") == F.col("header_eff"), expr), ignorenulls=True
+        ).over(wfull)
+
+    rm = F.col("row_map")
     r = (
-        r.withColumn("strain_col", F.array_max(_cols_where(hm, _is_strain_cell)))
-        .withColumn("spec_col0", F.array_max(_cols_where(hm, _is_spec_cell)))
-        .withColumn("cfu0_k", F.array_max(_cols_where(hm, lambda v: _cfu_class(v) == 0)))
-        .withColumn("cfu7_k", F.array_max(_cols_where(hm, lambda v: _cfu_class(v) == 7)))
-        .withColumn("cfu14_k", F.array_max(_cols_where(hm, lambda v: _cfu_class(v) == 14)))
-        .withColumn("cfu28_k", F.array_max(_cols_where(hm, lambda v: _cfu_class(v) == 28)))
-        .withColumn("judg_k", F.array_min(
-            _cols_where(hm, lambda v: _is_judg_cell(v) & ~_is_final_cell(v))))
-        .withColumn("final_k", F.array_max(_cols_where(hm, _is_final_cell)))
+        r.withColumn("strain_col", _page_col(F.array_max(_cols_where(rm, _is_strain_cell))))
+        .withColumn("spec_col0", _page_col(F.array_max(_cols_where(rm, _is_spec_cell))))
+        .withColumn("cfu0_k", _page_col(F.array_max(_cols_where(rm, lambda v: _cfu_class(v) == 0))))
+        .withColumn("cfu7_k", _page_col(F.array_max(_cols_where(rm, lambda v: _cfu_class(v) == 7))))
+        .withColumn("cfu14_k", _page_col(F.array_max(_cols_where(rm, lambda v: _cfu_class(v) == 14))))
+        .withColumn("cfu28_k", _page_col(F.array_max(_cols_where(rm, lambda v: _cfu_class(v) == 28))))
+        .withColumn("judg_k", _page_col(F.array_min(
+            _cols_where(rm, lambda v: _is_judg_cell(v) & ~_is_final_cell(v)))))
+        .withColumn("final_k", _page_col(F.array_max(_cols_where(rm, _is_final_cell))))
     )
     # A7 — Specification inference by value-pattern vote over the first 5
     # rows (after the header) that HAVE the strain_col+1 column: the rank

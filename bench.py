@@ -567,7 +567,14 @@ def _stage_sections(lo, hi, t_lo, t_hi, stage_tables, cal) -> tuple[str, str, fl
         + "\n".join(rows)
         + f"\n\ndriver residual (wall − Σ stage walls): {resid_lo:.1f} s @local[{lo}], "
         f"{resid_hi:.1f} s @local[{hi}] — plan compile + dynamic-overwrite commit "
-        f"+ checkpoint bookkeeping; serial, scales at 1/{ratio:.0f}."
+        f"+ checkpoint bookkeeping; serial, scales at 1/{ratio:.0f}. NOTE this row "
+        "is stage-wall arithmetic, not a timeline: stages overlap (broadcast "
+        "builds run concurrently with the kernel stage), so it can under- or "
+        "over-state serial time. Event-log timelines of full passes "
+        "(BENCH/probes/instr.py + parse_ev.py) put ACTUAL un-overlapped "
+        "driver time at ~3–4 s/pass at BOTH levels — almost entirely the "
+        "fixed plan-compile at job start — and show the critical path is "
+        "kernel stage → window/agg stage with everything else overlapped."
     )
     ceiling_md = f"""Per-stage model: predicted T_{hi} = Σ wall@{lo} / ({ratio:.0f} × class-eff)
 + driver residual (unscaled), with class-eff from the same-run calibration

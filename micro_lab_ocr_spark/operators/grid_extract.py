@@ -285,8 +285,11 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     # A7 — Specification inference by value-pattern vote over the first 5
     # rows (after the header) that HAVE the strain_col+1 column: the rank
-    # among qualifying rows is a cumulative count, the vote a page window sum
-    val1 = F.try_element_at("row_map", F.col("strain_col") + 1)
+    # among qualifying rows is a cumulative count, the vote a page window sum.
+    # val1 is projected ONCE before the vote windows — a short string instead
+    # of two map lookups riding through their frames.
+    r = r.withColumn("val1", F.try_element_at("row_map", F.col("strain_col") + 1))
+    val1 = F.col("val1")
     qual = (
         F.col("strain_col").isNotNull()
         & val1.isNotNull()
@@ -319,6 +322,25 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("final_judgment_col", F.coalesce("final_k", F.col("cfu_start") + 5))
     )
 
+    def cell_at(col_key: str) -> Column:
+        return F.coalesce(F.try_element_at("row_map", F.col(col_key)), F.lit(""))
+
+    # Every row_map lookup happens HERE, the moment the column indices are
+    # resolved — so the map (the widest column in the frame) is dropped
+    # before the fill-down / lag window passes below and their per-partition
+    # buffers carry six short strings instead of the full col→text map.
+    r = (
+        r.withColumn("bulk", F.trim(F.coalesce(F.try_element_at("row_map", F.lit(0)), F.lit(""))))
+        .withColumn("strain_raw", F.trim(cell_at("strain_col")))
+        .withColumn("c0_raw", cell_at("cfu_0_col"))
+        .withColumn("c7_raw", cell_at("cfu_7_col"))
+        .withColumn("c14_raw", cell_at("cfu_14_col"))
+        .withColumn("c28_raw", cell_at("cfu_28_col"))
+        .withColumn("judg_raw", cell_at("judgment_col"))
+        .withColumn("final_raw", cell_at("final_judgment_col"))
+        .drop("row_map")
+    )
+
     # ---- data rows: W1 fill-down + clean chain ---------------------------
     data = (
         r.where(F.col("header_row").isNotNull())
@@ -328,36 +350,30 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         .where(F.col("strain_col").isNotNull())
     )
 
-    def cell_at(col_key: str) -> Column:
-        return F.coalesce(F.try_element_at("row_map", F.col(col_key)), F.lit(""))
-
-    bulk = F.trim(F.coalesce(F.try_element_at("row_map", F.lit(0)), F.lit("")))
     w = Window.partitionBy(*PAGE).orderBy("row").rowsBetween(Window.unboundedPreceding, 0)
     data = (
-        data.withColumn("bulk", bulk)
-        .withColumn("t_ext", F.when(F.col("bulk") != "", C.extract_test_number(F.col("bulk"))))
+        data.withColumn("t_ext", F.when(F.col("bulk") != "", C.extract_test_number(F.col("bulk"))))
         .withColumn("p_ext", F.when(F.col("bulk") != "", C.extract_prescription_number(F.col("bulk"))))
         .withColumn("test_number", F.coalesce(F.last(F.nullif("t_ext", F.lit("")), True).over(w), F.lit("")))
         .withColumn(
             "prescription_number",
             F.coalesce(F.last(F.nullif("p_ext", F.lit("")), True).over(w), F.lit("")),
         )
-        .withColumn("strain_raw", F.trim(cell_at("strain_col")))
         .withColumn("strain", C.normalize_strain(F.col("strain_raw")))
         .where(F.col("strain_raw") != "")  # strain cell must exist (reference: col in row)
         .where(F.col("strain") != "")
     )
-    final_raw = cell_at("final_judgment_col")
+    final_raw = F.col("final_raw")
     # staged projections (see cleaners.clean_cfu_staged): the four day-column
     # clean chains run in whole-stage codegen instead of interpreted let()
     # HOF eval — this is the flagship/production path's per-row hot loop
     data = C.clean_cfu_staged(
         data,
         {
-            "c0": cell_at("cfu_0_col"),
-            "c7": cell_at("cfu_7_col"),
-            "c14": cell_at("cfu_14_col"),
-            "c28": cell_at("cfu_28_col"),
+            "c0": F.col("c0_raw"),
+            "c7": F.col("c7_raw"),
+            "c14": F.col("c14_raw"),
+            "c28": F.col("c28_raw"),
         },
         [
             ("c0", "0", "cfu_0day"),
@@ -376,7 +392,7 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         "cfu_7day",
         "cfu_14day",
         "cfu_28day",
-        C.extract_judgment(cell_at("judgment_col")).alias("judgment"),
+        C.extract_judgment(F.col("judg_raw")).alias("judgment"),
         F.when(final_raw == "", F.lit("")).otherwise(C.extract_judgment(final_raw)).alias(
             "final_judgment"
         ),

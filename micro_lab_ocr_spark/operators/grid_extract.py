@@ -59,11 +59,106 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
     columns ``media_ref``, ``span_text``, ``ok`` (the pipeline's OCR-kernel
     output with decode-failure routing), they ride through as extra grouping
     keys — constant per page, so the groups are unchanged — and come back on
-    ``pages``. Keys, not joins, because every consumer of the page-key
-    exchange must need the IDENTICAL column set: a branch that prunes
-    differently canonicalizes to a different exchange and re-runs the OCR
-    kernel (pipeline/extract.py). ``explode_outer`` (not explode) keeps
-    failed/empty pages present in ``pages`` so the pipeline can route them.
+    ``pages``. ``explode_outer`` (not explode) keeps failed/empty pages
+    present in ``pages`` so the pipeline can route them.
+
+    Both outputs are views over ONE shared per-row frame
+    (:func:`_enriched_rows`): records filters it, pages aggregates it. The
+    production pipeline consumes :func:`extract_page_lines` instead — the
+    fully fused single-aggregate form.
+    """
+    r, keys = _enriched_rows(grids)
+    records = r.where(F.col("is_record")).select(
+        *PAGE,
+        "row",
+        "test_number",
+        "prescription_number",
+        "strain",
+        "cfu_0day",
+        "cfu_7day",
+        "cfu_14day",
+        "cfu_28day",
+        "judgment",
+        "final_judgment",
+        "group_id",
+        "strain_rank",
+    )
+    pages = r.groupBy(*keys).agg(
+        F.first("date_info").alias("date_info"),
+        F.first("header_row").alias("header_row"),
+    )
+    return records, pages
+
+
+def extract_page_lines(grids: DataFrame, slim: bool = True) -> DataFrame:
+    """Fused page-level extraction for the production pipeline: ONE consumer
+    of the page-key exchange — per-row enrichment (windows) feeding a single
+    groupBy(page) that emits the serialized record block and the page-constant
+    metadata together.
+
+    Output: ``(*keys, date_info, header_row, lines)`` where ``lines`` is the
+    "|"-serialized records joined by "\\n" ("" for pages with no records).
+
+    Why fused: the previous shape (records → page_text groupBy) ⋈ (pages
+    groupBy) read the cells exchange TWICE and ran the cells→rows
+    ObjectHashAggregate twice — measured 654 MB shuffle read vs 338 MB
+    written on the 36k-doc scaling corpus, in the stage whose memory traffic
+    caps scaling efficiency (BENCH/BASELINE.md). One consumer reads the
+    exchange once, aggregates once, and needs no join.
+
+    ``slim`` pre-concats the 9 record fields into the final line BEFORE
+    collect_list so the sort/agg carries a 4-field struct (see
+    pipeline.extract._slim_pagetext).
+    """
+    from micro_lab_ocr_spark import spanspec
+
+    r, keys = _enriched_rows(grids)
+    if slim:
+        rec_struct = F.struct(
+            "group_id", "strain_rank", "row",
+            F.concat_ws("|", *spanspec.RECORD_FIELDS).alias("line"),
+        )
+        line_of = lambda s: s.getField("line")  # noqa: E731
+    else:
+        rec_struct = F.struct(
+            "group_id", "strain_rank", "row", *spanspec.RECORD_FIELDS
+        )
+        line_of = lambda s: F.concat_ws(  # noqa: E731
+            "|", *[s.getField(f) for f in spanspec.RECORD_FIELDS]
+        )
+    return r.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("is_record"), rec_struct))
+                ),
+                line_of,
+            ),
+            "\n",
+        ).alias("lines"),
+        F.first("date_info").alias("date_info"),
+        F.first("header_row").alias("header_row"),
+    )
+
+
+def _enriched_rows(grids: DataFrame) -> tuple[DataFrame, list[str]]:
+    """The shared per-row grid frame: cells → per-row rollup → header detect /
+    column classification / spec vote / fill-down / clean chain / A2 grouping,
+    ALL as window functions over the single page-key partitioning — no
+    filtering, so page-level consumers (pages metadata, fused page lines) see
+    every page including empty/failed ones.
+
+    Row-level predicates become flags instead of filters:
+
+    * ``is_data``   — the row is below the header with a resolvable strain
+      column (the old ``data`` filter). Fill-down sources are guarded by it,
+      so ``last(ignorenulls)`` over the unfiltered frame picks up exactly the
+      values the filtered frame used to see.
+    * ``is_record`` — ``is_data`` AND the strain cell is non-empty after
+      normalization (the old post-fill-down filter). The A2 lag becomes
+      ``last(when(is_record, test_number))`` over ``(unboundedPreceding, -1)``
+      — the previous RECORD row's value, identical to ``lag`` over the
+      filtered frame.
     """
     spark = grids.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -71,11 +166,10 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
     passthrough = [c for c in ("media_ref", "span_text", "ok") if c in grids.columns]
     keys = [*PAGE, *passthrough]
     cells = (
-        # explicit page-key not-null filter BELOW the exchange: downstream
-        # joins infer different IsNotNull constraints per branch (doc_id-only
-        # vs doc_id+offset), which would canonicalize the two copies of this
-        # exchange differently and break exchange reuse — the explicit
-        # superset filter subsumes both inferences, keeping one exchange
+        # explicit page-key not-null filter BELOW the exchange: consumers
+        # infer different IsNotNull constraints, which would canonicalize
+        # re-used copies of this exchange differently — the explicit superset
+        # filter subsumes the inferences, keeping one exchange
         grids.where(F.col(PAGE[0]).isNotNull() & F.col(PAGE[1]).isNotNull())
         .repartition(n_part, *PAGE)
         .select(*keys, F.explode_outer("cells").alias("cell"))
@@ -125,73 +219,11 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("row_text_u", F.upper("row_text"))
     )
 
-    # ---- W8 header detection -------------------------------------------
-    hdr1 = F.min(
-        F.when((F.col("row") < 5) & _contains_any(F.col("row_text_u"), _HEADER_KEYWORDS),
-               F.col("row"))
-    )
-    cand = F.min(
-        F.when((F.col("row") < 15) & _contains_any(F.col("row_text_u"), _STRAIN_KEYWORDS),
-               F.struct("row", "has_cfu"))
-    )
-    # F19 pass 1: first row (<5) with ≥4 date cells; pass 2: first date cell
-    pass1 = F.min(
-        F.when((F.col("row") < 5) & (F.size("date_cells") >= 4),
-               F.struct("row", "date_cells"))
-    )
-    pass2 = F.min(
-        F.when(
-            (F.col("row") < 5) & (F.size("date_cells") >= 1),
-            F.struct(
-                "row",
-                F.element_at("date_cells", 1).getField("col").alias("col"),
-                F.element_at("date_cells", 1).getField("date_m").alias("m"),
-                F.element_at("date_cells", 1).getField("date_d").alias("d"),
-            ),
-        )
-    )
-    pages = rows.groupBy(*keys).agg(
-        hdr1.alias("hdr1"), cand.alias("cand"), pass1.alias("pass1"), pass2.alias("pass2")
-    )
-    pages = pages.withColumn(
-        "header_row",
-        F.when(F.col("hdr1").isNotNull(), F.col("hdr1")).otherwise(
-            F.when(F.col("cand").isNotNull(),
-                   F.when(F.col("cand.has_cfu") == 1, F.lit(-1)).otherwise(F.col("cand.row")))
-        ),
-    ).withColumn("header_eff", F.when(F.col("header_row") == -1, F.lit(0)).otherwise(F.col("header_row")))
-
-    # ---- date_info struct (F17/F19/F21) ----------------------------------
-    def _zp(i: int) -> Column:
-        dc = F.element_at(F.col("pass1.date_cells"), i + 1)
-        return F.concat(F.lpad(dc.getField("date_m"), 2, "0"), F.lit("/"),
-                        F.lpad(dc.getField("date_d"), 2, "0"))
-
-    p2m = F.col("pass2.m").try_cast("int")
-    p2d = F.col("pass2.d").try_cast("int")
-    ladder_ok = (
-        F.col("pass2").isNotNull() & p2m.between(1, 12) & p2d.between(1, 28)
-    )  # mirrors the reference's try/except datetime(2024, m, d) on the
-    # fixture-reachable domain (all fixture days ≤ 28)
-    pages = pages.withColumn(
-        "date_info",
-        F.when(
-            F.col("pass1").isNotNull(),
-            F.struct(_zp(0).alias("date_0"), _zp(1).alias("date_7"),
-                     _zp(2).alias("date_14"), _zp(3).alias("date_28")),
-        ).when(ladder_ok, C.date_ladder(p2m, p2d)),
-    )
-
-    # ---- records path: page metadata as WINDOW aggregates ----------------
-    # The column map (`:808-923`) and A7 spec vote used to be separate
-    # groupBy branches joined back on PAGE — every branch re-read the single
-    # cells exchange (measured: ~6× read amplification, the dominant
-    # executor cost of the production job). All of them are per-page
-    # aggregates, so they run as window functions over the SAME (PAGE, row)
-    # partitioning instead: one exchange read, one sort shared by every
-    # window, zero joins. The header row's cell map (`row_map`) carries the
-    # header cells to every row of its page, and the column classifiers run
-    # over its entries as array lambdas — identical per-cell semantics.
+    # ---- page metadata: W8 header detect + F19 dates, as WINDOW aggregates
+    # over the same (PAGE, row) partitioning as everything else — one
+    # exchange read, one sort shared by every window, zero joins (the
+    # groupBy-branches-joined-back shape measured ~6× read amplification on
+    # the cells exchange before the window rewrite).
     wp = Window.partitionBy(*PAGE)
     wfull = (
         Window.partitionBy(*PAGE).orderBy("row")
@@ -241,6 +273,18 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("cand", F.min(F.when(
             (F.col("row") < 15) & _contains_any(F.col("row_text_u"), _STRAIN_KEYWORDS),
             F.struct("row", "has_cfu"))).over(wp))
+        # F19 pass 1: first row (<5) with ≥4 date cells; pass 2: first date cell
+        .withColumn("pass1", F.min(F.when(
+            (F.col("row") < 5) & (F.size("date_cells") >= 4),
+            F.struct("row", "date_cells"))).over(wp))
+        .withColumn("pass2", F.min(F.when(
+            (F.col("row") < 5) & (F.size("date_cells") >= 1),
+            F.struct(
+                "row",
+                F.element_at("date_cells", 1).getField("col").alias("col"),
+                F.element_at("date_cells", 1).getField("date_m").alias("m"),
+                F.element_at("date_cells", 1).getField("date_d").alias("d"),
+            ))).over(wp))
         .withColumn(
             "header_row",
             F.when(F.col("hdr1").isNotNull(), F.col("hdr1")).otherwise(
@@ -252,6 +296,27 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("header_eff",
                     F.when(F.col("header_row") == -1, F.lit(0)).otherwise(F.col("header_row")))
     )
+
+    # ---- date_info struct (F17/F19/F21), page-constant ---------------------
+    def _zp(i: int) -> Column:
+        dc = F.element_at(F.col("pass1.date_cells"), i + 1)
+        return F.concat(F.lpad(dc.getField("date_m"), 2, "0"), F.lit("/"),
+                        F.lpad(dc.getField("date_d"), 2, "0"))
+
+    p2m = F.col("pass2.m").try_cast("int")
+    p2d = F.col("pass2.d").try_cast("int")
+    ladder_ok = (
+        F.col("pass2").isNotNull() & p2m.between(1, 12) & p2d.between(1, 28)
+    )  # mirrors the reference's try/except datetime(2024, m, d) on the
+    # fixture-reachable domain (all fixture days ≤ 28)
+    r = r.withColumn(
+        "date_info",
+        F.when(
+            F.col("pass1").isNotNull(),
+            F.struct(_zp(0).alias("date_0"), _zp(1).alias("date_7"),
+                     _zp(2).alias("date_14"), _zp(3).alias("date_28")),
+        ).when(ladder_ok, C.date_ladder(p2m, p2d)),
+    ).drop("pass1", "pass2")
 
     # ---- header-column classification, ONCE PER PAGE ---------------------
     # The classifiers read only the header row's col→text map, so their
@@ -341,39 +406,59 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
         .drop("row_map")
     )
 
-    # ---- data rows: W1 fill-down + clean chain ---------------------------
-    data = (
-        r.where(F.col("header_row").isNotNull())
-        .where(
-            (F.col("header_row") == -1) | (F.col("row") > F.col("header_row"))
-        )
-        .where(F.col("strain_col").isNotNull())
+    # ---- data rows: W1 fill-down + clean chain, flag-gated ----------------
+    # ``is_data`` replaces the old row filter (below-header + resolvable
+    # strain column). Every fill-down SOURCE is guarded by it, so
+    # last(ignorenulls) over the unfiltered frame sees exactly the values the
+    # filtered frame used to — non-data rows contribute nothing and merely
+    # carry (unused) filled values.
+    is_data = F.coalesce(
+        F.col("header_row").isNotNull()
+        & ((F.col("header_row") == -1) | (F.col("row") > F.col("header_row")))
+        & F.col("strain_col").isNotNull(),
+        F.lit(False),
     )
+    r = r.withColumn("is_data", is_data)
 
     w = Window.partitionBy(*PAGE).orderBy("row").rowsBetween(Window.unboundedPreceding, 0)
-    data = (
-        data.withColumn("t_ext", F.when(F.col("bulk") != "", C.extract_test_number(F.col("bulk"))))
-        .withColumn("p_ext", F.when(F.col("bulk") != "", C.extract_prescription_number(F.col("bulk"))))
+    r = (
+        r.withColumn(
+            "t_ext",
+            F.when(F.col("is_data") & (F.col("bulk") != ""), C.extract_test_number(F.col("bulk"))),
+        )
+        .withColumn(
+            "p_ext",
+            F.when(F.col("is_data") & (F.col("bulk") != ""), C.extract_prescription_number(F.col("bulk"))),
+        )
         .withColumn("test_number", F.coalesce(F.last(F.nullif("t_ext", F.lit("")), True).over(w), F.lit("")))
         .withColumn(
             "prescription_number",
             F.coalesce(F.last(F.nullif("p_ext", F.lit("")), True).over(w), F.lit("")),
         )
-        .withColumn("strain", C.normalize_strain(F.col("strain_raw")))
-        .where(F.col("strain_raw") != "")  # strain cell must exist (reference: col in row)
-        .where(F.col("strain") != "")
+        .withColumn("strain", F.when(F.col("is_data"), C.normalize_strain(F.col("strain_raw"))))
+        # strain cell must exist (reference: col in row) and normalize non-empty
+        .withColumn(
+            "is_record",
+            F.coalesce(
+                F.col("is_data") & (F.col("strain_raw") != "") & (F.col("strain") != ""),
+                F.lit(False),
+            ),
+        )
     )
     final_raw = F.col("final_raw")
+    rec = F.col("is_record")
     # staged projections (see cleaners.clean_cfu_staged): the four day-column
     # clean chains run in whole-stage codegen instead of interpreted let()
-    # HOF eval — this is the flagship/production path's per-row hot loop
-    data = C.clean_cfu_staged(
-        data,
+    # HOF eval — this is the flagship/production path's per-row hot loop.
+    # Inputs gated on is_record: when() short-circuits the chains on header /
+    # pre-header / strain-less rows, whose outputs nothing consumes.
+    r = C.clean_cfu_staged(
+        r,
         {
-            "c0": F.col("c0_raw"),
-            "c7": F.col("c7_raw"),
-            "c14": F.col("c14_raw"),
-            "c28": F.col("c28_raw"),
+            "c0": F.when(rec, F.col("c0_raw")),
+            "c7": F.when(rec, F.col("c7_raw")),
+            "c14": F.when(rec, F.col("c14_raw")),
+            "c28": F.when(rec, F.col("c28_raw")),
         },
         [
             ("c0", "0", "cfu_0day"),
@@ -382,34 +467,33 @@ def extract(grids: DataFrame) -> tuple[DataFrame, DataFrame]:
             ("c28", "28", "cfu_28day"),
         ],
     )
-    records = data.select(
-        *PAGE,
-        "row",
-        "test_number",
-        "prescription_number",
-        "strain",
-        "cfu_0day",
-        "cfu_7day",
-        "cfu_14day",
-        "cfu_28day",
-        C.extract_judgment(F.col("judg_raw")).alias("judgment"),
-        F.when(final_raw == "", F.lit("")).otherwise(C.extract_judgment(final_raw)).alias(
-            "final_judgment"
+    r = r.withColumn(
+        "judgment", F.when(rec, C.extract_judgment(F.col("judg_raw")))
+    ).withColumn(
+        "final_judgment",
+        F.when(
+            rec,
+            F.when(final_raw == "", F.lit("")).otherwise(C.extract_judgment(final_raw)),
         ),
     )
 
     # ---- A2 — strain-group sort within consecutive test groups ----------
-    ow = Window.partitionBy(*PAGE).orderBy("row")
-    records = (
-        records.withColumn("prev_test", F.lag("test_number").over(ow))
-        .withColumn(
-            "new_group",
-            (F.col("prev_test").isNull() | (F.col("prev_test") != F.col("test_number"))).cast("int"),
-        )
-        .withColumn("group_id", F.sum("new_group").over(
-            Window.partitionBy(*PAGE).orderBy("row").rowsBetween(Window.unboundedPreceding, 0)
-        ))
-        .withColumn("strain_rank", C.strain_rank(F.col("strain")))
-        .drop("prev_test", "new_group")
+    # lag over the old filtered frame = the previous RECORD row's value here:
+    # last(when(is_record, …), ignorenulls) over (unboundedPreceding, -1).
+    wprev = Window.partitionBy(*PAGE).orderBy("row").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    return records, pages.select(*keys, "date_info", "header_row")
+    prev_test = F.last(F.when(rec, F.col("test_number")), True).over(wprev)
+    r = (
+        r.withColumn(
+            "new_group",
+            F.when(
+                rec & (prev_test.isNull() | (prev_test != F.col("test_number"))),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("group_id", F.sum("new_group").over(wcum))
+        .withColumn("strain_rank", F.when(rec, C.strain_rank(F.col("strain"))))
+        .drop("new_group")
+    )
+    return r, keys

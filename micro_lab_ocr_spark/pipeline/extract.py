@@ -402,57 +402,25 @@ def normalize_spans(
     )
     # The kernel output feeds grid_extract ONLY; span identity, the original
     # text and the decode-failure flag ride THROUGH the grid DAG as
-    # page-constant grouping keys (see grid_extract.extract passthrough
-    # mode), so every consumer of the page-key exchange needs the identical
-    # column set and exchange reuse keeps the OCR kernel single-eval.
-    # (Branch-specialized consumers — e.g. a separate failed-rows arm that
-    # prunes `cells` — canonicalize to DIFFERENT exchanges and re-run the
-    # kernel per branch: measured 3× media decodes before this structure.)
-    records, pages = grid_extract.extract(grids)
-    # Page-line assembly. Sort key (group_id, strain_rank, row) is unique per
-    # page — `row` is the grid row index, unique within a group — so the
-    # record fields after it in the struct are dead weight as tie-breakers.
-    # The default pre-concats the 9 record fields into the final "|"-joined
-    # line BEFORE collect_list, so the sort/agg stage (the scaling run's
-    # binding stage: 95% JVM-CPU, eff 0.51 at 4→16 cores before this) carries
-    # a 4-field struct instead of 12. Identical output (equivalence pinned by
-    # test_slim_pagetext_equivalent against SPARK_GRAFT_SLIM_PAGETEXT=0).
-    if _slim_pagetext():
-        collected = F.collect_list(
-            F.struct(
-                "r.group_id", "r.strain_rank", "r.row",
-                F.concat_ws(
-                    "|", *[F.col(f"r.{f}") for f in spanspec.RECORD_FIELDS]
-                ).alias("line"),
-            )
-        )
-        line_of = lambda s: s.getField("line")  # noqa: E731
-    else:
-        collected = F.collect_list(
-            F.struct(
-                "r.group_id", "r.strain_rank", "r.row",
-                *[F.col(f"r.{f}").alias(f) for f in spanspec.RECORD_FIELDS],
-            )
-        )
-        line_of = lambda s: F.concat_ws(  # noqa: E731
-            "|", *[s.getField(f) for f in spanspec.RECORD_FIELDS]
-        )
-    page_text = (
-        records.alias("r")
-        .groupBy("doc_id", "offset")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(collected), line_of), "\n"
-            ).alias("lines"),
-        )
-    )
-    # `pages` covers every matched decodable-magic row 1:1 (explode_outer in
+    # page-constant grouping keys (grid_extract passthrough mode). The fused
+    # extract_page_lines is the page-key exchange's SINGLE consumer: per-row
+    # enrichment windows feed one groupBy(page) that emits the serialized
+    # record block + page metadata together. The previous two-consumer shape
+    # (records→page_text groupBy ⋈ pages groupBy) read the exchange twice and
+    # ran the cells→rows aggregate twice — 654 MB shuffle read vs 338 MB
+    # written on the 36k-doc scaling corpus, in the memory-traffic-bound
+    # stage that caps scaling efficiency (BENCH/BASELINE.md). Sort key
+    # (group_id, strain_rank, row) is unique per page; the slim default
+    # pre-concats the 9 record fields into the final "|"-joined line BEFORE
+    # collect_list so the sort/agg carries a 4-field struct instead of 12
+    # (equivalence pinned by test_slim_pagetext_equivalent).
+    paged = grid_extract.extract_page_lines(grids, slim=_slim_pagetext())
+    # `paged` covers every matched decodable-magic row 1:1 (explode_outer in
     # grid_extract keeps failed/empty pages) and carries span identity plus
     # the ok flag, so the whole image output — table spans AND decode-failure
-    # pass-throughs — is one CASE over pages ⋈ page_text (both already on
-    # the page partitioning: no further shuffle)
+    # pass-throughs — is one CASE over it (no join, no further shuffle)
     image_out = (
-        pages.join(page_text, ["doc_id", "offset"], "left")
+        paged
         .select(
             "doc_id",
             "offset",

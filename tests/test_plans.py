@@ -78,6 +78,36 @@ def test_grid_extract_no_extra_shuffles(spark):
         assert join_op not in plan, f"{join_op} crept back into the records DAG"
 
 
+def test_extract_page_lines_fused_single_pass(spark):
+    """The production grid consumer (extract_page_lines) must stay FUSED:
+    one page-key exchange with ONE consumer — per-row window enrichment
+    feeding a single final groupBy(page). The previous two-consumer shape
+    (records→page_text groupBy ⋈ pages groupBy) read the exchange twice and
+    ran the cells→rows aggregate twice (654 MB shuffle read vs 338 MB
+    written on the scaling corpus, in the stage that caps scaling
+    efficiency — BENCH/BASELINE.md)."""
+    from micro_lab_ocr_spark.operators import grid_extract
+    from micro_lab_ocr_spark.sources import fixtures
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"g{i}", 0, [tuple(c) for c in fixtures.make_grid(rng)]) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, offset int, cells array<struct<row:int,col:int,text:string>>"
+    )
+    paged = grid_extract.extract_page_lines(df)
+    paged.write.format("noop").mode("overwrite").save()  # materialize w/ AQE
+    plan = plan_of(paged)
+    assert plan.count("ENSURE_REQUIREMENTS") == 0, "unexpected implicit re-shuffle"
+    assert plan.count("REPARTITION_BY_NUM") == 1, "page-key exchange must be single"
+    assert "ReusedExchange" not in plan, "exchange consumed twice — fusion regressed"
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_op not in plan, f"{join_op} crept back into the fused grid DAG"
+    # exactly ONE cells→rows aggregate pair (partial+final ObjectHashAggregate
+    # on (page, row)) and one final page aggregate — no duplicated rollup
+    assert plan.count("ObjectHashAggregate") <= 4, "duplicated rollup aggregate"
+
+
 def test_ngram_jaccard_is_hash_join(spark):
     """The length-band pairing must plan as an equi hash join on the block
     key — never a BroadcastNestedLoopJoin / cartesian (O(n²) at scale)."""

@@ -195,24 +195,26 @@ def embedding_cosine_pairs(
     is judged against, task brief §dedup).
 
     A self theta-join would plan as a BroadcastNestedLoopJoin pushing O(n²)
-    rows through Catalyst. Instead the classic block-grid matmul: vectors
-    hash into B blocks, each block packs into ONE row (map-side groupBy),
-    the B×(B+1)/2 unordered block-pair KEYS (two ints each) form the only
-    broadcast, and a numpy kernel scores each block pair as a single matrix
-    product. Compute stays O(n²) — exactness requires it — but it's
-    distributed over block pairs with bounded-size matrices and zero
-    per-pair Catalyst rows.
+    rows through Catalyst. Instead the classic triangle-grid matmul: ids
+    hash into B blocks; each row map-side replicates to the B unordered
+    block-pairs its block belongs to (``explode`` over pair keys — diagonal
+    once), ONE hash shuffle groups the grid cells, and a numpy kernel scores
+    each of the B×(B+1)/2 groups as a single matrix product. Compute stays
+    O(n²) — exactness requires it — but it's distributed over block pairs
+    with bounded-size matrices and zero per-pair Catalyst rows.
 
-    Scale guards: block contents flow ONLY through shuffle joins (hinted
-    shuffle_hash — never broadcast, so neither the driver nor any executor
-    holds the corpus). B defaults to ceil(n / max_block_rows) from a bare
-    count over ids, so a packed block row is bounded (~max_block_rows·d·8
-    bytes ≪ the 2 GB row / Arrow limits) no matter the corpus size; an
-    explicit ``n_blocks`` below that bound raises instead of failing later
-    with an opaque Arrow error. At web scale you run the LSH candidates +
-    this kernel on candidates only."""
+    Scale guards: no broadcast and no packed mega-rows — vectors travel as
+    plain rows through exactly one shuffle (replication factor B, i.e. total
+    shuffle volume n·B rows ≈ n²/max_block_rows), and neither the driver nor
+    any executor ever holds the corpus: a task holds one group of ≤
+    2·max_block_rows vectors. B defaults to ceil(n / max_block_rows) from a
+    bare count over ids; an explicit ``n_blocks`` below that bound raises
+    instead of failing later with executor OOM. Vectors keep their STORED
+    width on the wire (float stays float — widening to float64 happens in
+    the kernel and is exact, same values as a Spark-side cast at half the
+    shuffle bytes). At web scale you run the LSH candidates + this kernel on
+    candidates only."""
     import math
-    from collections.abc import Iterator
 
     import pandas as pd
 
@@ -228,62 +230,67 @@ def embedding_cosine_pairs(
             f"≥ {min_blocks}, or use the LSH candidate path "
             f"(ann.lsh_topk / dedup.minhash_lsh_pairs) for corpora this size"
         )
+    B = n_blocks
     v = emb.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
-    packed = v.groupBy("blk").agg(
-        F.collect_list(F.struct("id", "vec")).alias("items")
-    )
-    spark = emb.sparkSession
-    keys = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
-        "blk_a int, blk_b int",
-    )
-    grid = (
-        keys.join(
-            packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
-            .hint("shuffle_hash"),
-            "blk_a",
-        )
-        .join(
-            packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
-            .hint("shuffle_hash"),
-            "blk_b",
-        )
-        # spread the B(B+1)/2 heavy pair rows over both key columns — the
-        # last join leaves them clustered on blk_b alone (≤ B busy tasks)
-        .repartition(F.col("blk_a"), F.col("blk_b"))
-    )
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+    # a row in block k belongs to grid cell (min(k, o), max(k, o)) for every
+    # block o: each unordered pair receives both its blocks' rows exactly
+    # once, the diagonal (k, k) exactly once
+    grid = v.select(
+        "blk",
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("blk"), F.lit(o)).alias("pa"),
+                        F.greatest(F.col("blk"), F.lit(o)).alias("pb"),
+                    )
+                    for o in range(B)
+                ]
+            )
+        ).alias("pk"),
+    ).select(F.col("pk.pa").alias("pa"), F.col("pk.pb").alias("pb"), "blk", "id", "vec")
 
-    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        for pdf in it:
-            out_a, out_b, out_c = [], [], []
-            for blk_a, blk_b, items_a, items_b in zip(
-                pdf["blk_a"], pdf["blk_b"], pdf["items_a"], pdf["items_b"]
-            ):
-                same = blk_a == blk_b
-                ids_a = [r["id"] for r in items_a]
-                ids_b = [r["id"] for r in items_b]
-                A = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in items_a])
-                B = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in items_b])
-                An = A / np.linalg.norm(A, axis=1, keepdims=True)
-                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-                S = np.round(An @ Bn.T, 4)
-                for i, j in zip(*np.nonzero(S >= threshold)):
-                    a, b = ids_a[i], ids_b[j]
-                    if a == b:
-                        continue
-                    if same and not a < b:
-                        continue  # symmetric matrix: keep the i<j triangle once
-                    lo, hi = (a, b) if a < b else (b, a)
-                    out_a.append(lo)
-                    out_b.append(hi)
-                    out_c.append(S[i, j])
-            if out_a:  # empty frames confuse Arrow dtype inference
-                yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+        pa, pb = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(pdf) == 0:
+            return empty
+        blk = pdf["blk"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        if pa == pb:
+            S = np.round(Mn @ Mn.T, 4)
+            ii, jj = np.nonzero(S >= threshold)
+            keep = ii < jj  # symmetric matrix: each unordered pair once
+            ids_a, ids_b = ids, ids
+        else:
+            a_side = blk == pa
+            ids_a, ids_b = ids[a_side], ids[~a_side]
+            if len(ids_a) == 0 or len(ids_b) == 0:
+                return empty
+            S = np.round(Mn[a_side] @ Mn[~a_side].T, 4)
+            ii, jj = np.nonzero(S >= threshold)
+            keep = np.ones(len(ii), dtype=bool)
+        out_a, out_b, out_c = [], [], []
+        for i, j, k in zip(ii, jj, keep):
+            if not k:
+                continue
+            a, b = ids_a[i], ids_b[j]
+            if a == b:
+                continue
+            lo, hi = (a, b) if a < b else (b, a)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(S[i, j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
-    return grid.mapInPandas(
+    return grid.groupBy("pa", "pb").applyInPandas(
         score, f"id_a {idtype}, id_b {idtype}, cosine double"
     )

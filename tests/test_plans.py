@@ -124,6 +124,19 @@ def test_minhash_no_window_over_shingles(spark):
     assert "Window" not in plan
 
 
+def test_embedding_pairs_single_shuffle_no_broadcast(spark):
+    """The exact cosine triangle-grid must move vectors through exactly ONE
+    hash shuffle (the pa/pb groupBy) — no broadcast (the corpus must never
+    sit on the driver or whole on an executor), no join, and no second
+    exchange repacking block rows (the round-3 shape double-evaluated a
+    collect_list aggregate through two shuffle joins + a repartition and
+    cost 10× on the bench)."""
+    plan = plan_of(Q.dedup_embedding_cosine_q(spark, SF))
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+
+
 def test_cleaners_stay_jvm_side(spark):
     """F-banks must be pure Catalyst expressions — no Python nodes at all.
 

@@ -56,35 +56,16 @@ def _slim_pagetext() -> bool:
     return os.environ.get("SPARK_GRAFT_SLIM_PAGETEXT", "1") == "1"
 
 
-def _offset_only_sort() -> bool:
-    """Opt-in reassembly sort that compares span offsets only (read at
-    plan-construction time). ``offset`` is unique per doc after branch union
-    (each span keeps its source offset exactly once), so the kind/text/
-    media_ref fields in the struct are dead tie-breaker weight the default
-    lexicographic ``array_sort`` still byte-compares. SPARK_GRAFT_SORT_OFFSET=1
-    switches to a comparator lambda over the int key so comparisons never
-    touch text payloads; default-off until the recorded
-    BENCH/scaling_samples.jsonl protocol is re-run against it."""
-    import os
-
-    return os.environ.get("SPARK_GRAFT_SORT_OFFSET", "0") == "1"
-
-
 def _sort_spans(arr: Column) -> Column:
-    """array_sort over span structs by their unique ``offset`` key.
+    """array_sort over span structs by their unique leading ``offset`` key.
 
-    Comparator mode (see :func:`_offset_only_sort`) evaluates an int
-    comparison per pair instead of the full-struct lexicographic compare;
-    equivalence is pinned by ``test_offset_only_sort_equivalent``."""
-    if _offset_only_sort():
-        return F.array_sort(
-            arr,
-            lambda left, right: F.when(
-                left["offset"] < right["offset"], F.lit(-1)
-            )
-            .when(left["offset"] > right["offset"], F.lit(1))
-            .otherwise(F.lit(0)),
-        )
+    ``offset`` is the struct's FIRST field and unique per doc after branch
+    union (each span keeps its source offset exactly once), so the default
+    lexicographic struct compare short-circuits at the int field on every
+    comparison and never reads the text payload. A comparator-lambda variant
+    over the offset alone was considered and rejected: it buys nothing (the
+    tail fields only act on offset ties, which cannot occur) and replaces
+    the codegen'd ordering with per-comparison interpreted lambda eval."""
     return F.array_sort(arr)
 
 

@@ -357,15 +357,13 @@ def test_slim_pagetext_equivalent(spark, corpus, engine_result, monkeypatch):
     assert slim == engine_result
 
 
-def test_offset_only_sort_equivalent(spark, corpus, engine_result, monkeypatch):
-    """SPARK_GRAFT_SORT_OFFSET=1 sorts the reassembly span array with a
-    comparator over the int offset alone instead of the default lexicographic
-    struct compare. offsets are unique per doc after the branch union (each
-    source span yields at most one output row keyed by its original offset),
-    so the kind/text/media_ref tail never acts as a tie-breaker and the
-    output must be byte-identical — in both the plain and the skew-salted
-    reassembly branches."""
-    monkeypatch.setenv("SPARK_GRAFT_SORT_OFFSET", "1")
+def test_salted_reassembly_equivalent(spark, corpus, engine_result):
+    """The reassembly sort key (``offset``, the struct's first field) is
+    unique per doc after the branch union — each source span yields at most
+    one output row keyed by its original offset — so the lexicographic
+    struct sort is fully determined by the int field and both the plain and
+    the skew-salted reassembly branches must produce byte-identical output
+    regardless of task arrival order."""
     docs, media, _ = corpus
     docs_df = spark.createDataFrame(
         [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])

@@ -233,7 +233,30 @@ def run_scaling_single(parallelism: int) -> dict:
         "walls": [wall_a, wall_b],
         "docs": n_docs,
         "stages": stages,
+        "weather": _weather_probe(),
     }
+
+
+def _weather_probe() -> dict:
+    """~2 s host-health probe recorded with every scaling sample: a pure-
+    Python integer loop (CPU speed / hypervisor steal) and a fresh-page
+    numpy fill (allocation bandwidth). This shared VM shows 2–10× swings in
+    BOTH between byte-identical runs (observed: 6 MB/s vs 1800 MB/s alloc
+    minutes apart); per-sample weather makes the min-of-N selection
+    auditable — a discarded slow sample should show a degraded probe, a
+    kept min a healthy one."""
+    import numpy as np
+
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    pyloop = time.time() - t0
+    t0 = time.time()
+    a = np.zeros(8_000_000)
+    a[:] = 1.0
+    alloc_mbps = 64.0 / (time.time() - t0)
+    return {"pyloop_s": round(pyloop, 2), "alloc_mbps": round(alloc_mbps, 0)}
 
 
 def _parse_event_log(ev_dir: str, window: tuple[int, int]) -> list[dict]:
@@ -390,6 +413,7 @@ def run_scaling(sf_dir: str) -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
     walls: dict[int, list[float]] = {lo: [], hi: []}
     stage_tables: dict[int, list] = {lo: [], hi: []}
+    weathers: dict[int, list] = {lo: [], hi: []}
     best_wall: dict[int, float] = {lo: float("inf"), hi: float("inf")}
     docs = 0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -408,6 +432,7 @@ def run_scaling(sf_dir: str) -> None:
                 if n not in walls:
                     continue
                 walls[n].extend(r.get("walls", [r["wall"]]))
+                weathers[n].append(r.get("weather"))
                 docs = r["docs"]
                 reps_seeded = max(reps_seeded, r.get("rep", 0) + 1)
                 if r.get("stages") and r["wall"] < best_wall[n]:
@@ -423,6 +448,7 @@ def run_scaling(sf_dir: str) -> None:
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
             walls[n].extend(r.get("walls", [r["wall"]]))
+            weathers[n].append(r.get("weather"))
             docs = r["docs"]
             # keep the stage decomposition of the globally best pass per
             # level — the min wall is the reported estimator, so the stage
@@ -434,7 +460,7 @@ def run_scaling(sf_dir: str) -> None:
                 f.write(json.dumps({"rep": rep, **r}) + "\n")
         # regenerate the report after every rep — a killed run still leaves
         # a valid BASELINE.md reflecting all samples so far
-        _write_scaling_md(lo, hi, walls, docs, cal, rep + 1, stage_tables)
+        _write_scaling_md(lo, hi, walls, docs, cal, rep + 1, stage_tables, weathers)
     eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "t_lo": min(walls[lo]), "t_hi": min(walls[hi]),
@@ -588,7 +614,25 @@ def _stage_sections(lo, hi, t_lo, t_hi, stage_tables, cal) -> tuple[str, str, fl
     return stage_md, ceiling_md, ceiling_eff
 
 
-def _write_scaling_md(lo, hi, walls, docs, cal, reps_done, stage_tables=None) -> None:
+def _weather_md(lo, hi, weathers) -> str:
+    """Per-sample host-weather table (one probe per warm session / sample
+    line). Quiet-box reference on this VM: pyloop ~0.4-1.1 s, alloc ~1800 MB/s;
+    storms show 2-10x pyloop and down to ~6 MB/s alloc. The min-wall
+    estimator discards stormy samples by construction - this table is the
+    audit trail."""
+    if not weathers or not any(w for ws in weathers.values() for w in ws):
+        return ""
+    lines = ["", "Host weather at each sample (pyloop s / alloc MB/s;",
+             "quiet-box ~0.4-1.1 s / ~1800 MB/s):", ""]
+    for n in (lo, hi):
+        probes = [f"{w['pyloop_s']}/{int(w['alloc_mbps'])}" if w else "-"
+                  for w in weathers.get(n, [])]
+        lines.append(f"* local[{n}]: " + ", ".join(probes))
+    return "\n".join(lines)
+
+
+def _write_scaling_md(lo, hi, walls, docs, cal, reps_done, stage_tables=None,
+                      weathers=None) -> None:
     t_lo = min(walls[lo])
     t_hi = min(walls[hi])
     eff = (t_lo / t_hi) / (hi / lo)
@@ -620,6 +664,7 @@ relative to this box's same-run pure-CPU ceiling: {eff / cal['intcpu']['eff']:.3
 
 All raw walls — lo: {walls[lo]}, hi: {walls[hi]} ({reps_done} interleaved
 reps × 2 timed passes per level).
+{_weather_md(lo, hi, weathers)}
 
 ## Per-stage decomposition (best pass per level, from the Spark event log)
 
@@ -680,6 +725,7 @@ def render_scaling_from_samples() -> None:
     lo, hi = (int(x) for x in levels.split(","))
     walls: dict[int, list[float]] = {lo: [], hi: []}
     stage_tables: dict[int, list] = {lo: [], hi: []}
+    weathers: dict[int, list] = {lo: [], hi: []}
     best_wall = {lo: float("inf"), hi: float("inf")}
     docs, reps_seen = 0, 0
     with open(os.path.join(REPO, "BENCH", "scaling_samples.jsonl")) as f:
@@ -689,13 +735,14 @@ def render_scaling_from_samples() -> None:
             if n not in walls:
                 continue
             walls[n].extend(r.get("walls", [r["wall"]]))
+            weathers[n].append(r.get("weather"))
             docs = r["docs"]
             reps_seen = max(reps_seen, r.get("rep", 0) + 1)
             if r.get("stages") and r["wall"] < best_wall[n]:
                 best_wall[n] = r["wall"]
                 stage_tables[n] = r["stages"]
     cal = _calibrate((lo, hi))
-    _write_scaling_md(lo, hi, walls, docs, cal, reps_seen, stage_tables)
+    _write_scaling_md(lo, hi, walls, docs, cal, reps_seen, stage_tables, weathers)
     eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "t_lo": min(walls[lo]), "t_hi": min(walls[hi]),

@@ -378,13 +378,20 @@ def _calibrate(levels: tuple[int, ...]) -> dict:
     import multiprocessing as mp
 
     out = {}
+    reps = int(os.environ.get("SPARK_GRAFT_CAL_REPS", "3"))
     for name, fn in (("intcpu", _int_burn), ("membw", _mem_burn)):
-        rates = {}
-        for w in levels:
-            with mp.Pool(w) as p:
-                t0 = time.time()
-                its = p.map(fn, range(w))
-                rates[w] = sum(its) / (time.time() - t0)
+        # interleaved max-of-N per level: this VM's storms (hypervisor steal
+        # + memory-subsystem collapse) hit single-shot calibrations hard
+        # enough to invert them (observed: membw rate 0.3 it/s at 4 workers
+        # vs 40 it/s at 16 when the 4-worker window caught a storm). Max
+        # rate = the quietest window per level, same estimator as the walls.
+        rates: dict[int, float] = {w: 0.0 for w in levels}
+        for _ in range(reps):
+            for w in levels:
+                with mp.Pool(w) as p:
+                    t0 = time.time()
+                    its = p.map(fn, range(w))
+                    rates[w] = max(rates[w], sum(its) / (time.time() - t0))
         lo, hi = levels[0], levels[-1]
         out[name] = {"rates": {str(w): round(r, 1) for w, r in rates.items()},
                      "eff": round((rates[hi] / rates[lo]) / (hi / lo), 3)}

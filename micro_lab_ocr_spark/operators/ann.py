@@ -182,6 +182,19 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _choose_blocks(n: int, max_block_rows: int, slots: int) -> int:
+    """Block count for the triangle-grid kernel: the larger of the MEMORY
+    bound (no block above max_block_rows) and a PARALLELISM floor sized so
+    the B·(B+1)/2 grid cells give every default-parallelism slot ~2 tasks.
+    The floor never shreds below ~64 rows/block — python-worker + Arrow
+    overhead would dominate the per-cell matmul on tiny corpora."""
+    import math
+
+    mem_blocks = max(1, math.ceil(n / max_block_rows))
+    par_blocks = min(math.ceil(n / 64), math.ceil(math.sqrt(4 * slots)))
+    return max(mem_blocks, par_blocks, 1)
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -227,12 +240,8 @@ def embedding_cosine_pairs(
     n = emb.count()
     min_blocks = max(1, math.ceil(n / max_block_rows))
     if n_blocks is None:
-        # parallelism floor: B(B+1)/2 cells ≈ 2 tasks per slot, but never
-        # shred below ~64 rows/block (python-worker + Arrow overhead would
-        # dominate the per-cell matmul on tiny corpora)
         slots = emb.sparkSession.sparkContext.defaultParallelism
-        par_blocks = min(math.ceil(n / 64), math.ceil(math.sqrt(4 * slots)))
-        n_blocks = max(min_blocks, par_blocks, 1)
+        n_blocks = _choose_blocks(n, max_block_rows, slots)
     elif n_blocks < min_blocks:
         raise ValueError(
             f"n_blocks={n_blocks} packs ~{math.ceil(n / n_blocks)} rows/block "

@@ -213,3 +213,23 @@ def test_embedding_cosine_pairs_block_bound(spark):
     m = {(r["id_a"], r["id_b"], round(r["cosine"], 4)) for r in multi.collect()}
     s = {(r["id_a"], r["id_b"], round(r["cosine"], 4)) for r in single.collect()}
     assert m == s and len(m) > 0
+
+
+def test_embedding_cosine_block_parallelism_floor():
+    """Default block sizing must satisfy BOTH bounds: never a block above
+    max_block_rows (memory), and never a grid so coarse that one task scores
+    the whole corpus while the cluster idles (a 2000-row corpus under the
+    4096 memory cap collapsed to ONE cell before the floor: 6.1 s -> 1.3 s
+    at 32 cores). Floor backs off below ~64 rows/block."""
+    from micro_lab_ocr_spark.operators.ann import _choose_blocks
+
+    # memory bound dominates at scale: 1M rows / 4096 cap -> >= 245 blocks
+    assert _choose_blocks(1_000_000, 4096, 32) >= 245
+    # parallelism floor dominates under the cap: 2000 rows, 32 slots ->
+    # B = ceil(sqrt(4*32)) = 12 -> 78 cells ~ 2.4 tasks/slot
+    assert _choose_blocks(2000, 4096, 32) == 12
+    b = _choose_blocks(2000, 4096, 8)
+    assert b * (b + 1) // 2 >= 2 * 8
+    # tiny corpora: don't shred below ~64 rows/block
+    assert _choose_blocks(100, 4096, 32) == 2
+    assert _choose_blocks(40, 4096, 32) == 1

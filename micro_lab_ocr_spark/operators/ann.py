@@ -225,7 +225,7 @@ def embedding_cosine_pairs(
     B·(B+1)/2 grid cells give every default-parallelism slot ~2 tasks —
     without (b) a corpus under max_block_rows collapses to ONE cell and one
     task scores the whole n×n matrix while the rest of the cluster idles
-    (measured 6.1 s → 0.7 s at n=2000 / 32 cores from the floor alone). An
+    (measured 6.1 s → 1.3 s at n=2000 / 32 cores from the floor alone). An
     explicit ``n_blocks`` below the memory bound raises instead of failing
     later with executor OOM. Vectors keep their STORED
     width on the wire (float stays float — widening to float64 happens in

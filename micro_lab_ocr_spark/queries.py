@@ -938,28 +938,35 @@ def f20_log_convert(spark, sf_dir):
     )
 
 
+def _sql_log(v: str) -> str:
+    """DuckDB mirror of ``C.convert_to_log`` applied to expression ``v``
+    (shared by the F20 oracle and the J4 template log block)."""
+    ce = f"regexp_extract({v}, '<10\\^(\\d+)', 1)"
+    base = f"try_cast(regexp_extract({v}, '^([0-9.]+)×10\\^(\\d+)', 1) AS DOUBLE)"
+    expn = f"try_cast(regexp_extract({v}, '^([0-9.]+)×10\\^(\\d+)', 2) AS INT)"
+    return (
+        f"CASE WHEN {v} IS NULL OR {v} = '' THEN ''\n"
+        f"       WHEN contains({v}, '<') AND {ce} != '' THEN '<' || {ce} || '.0'\n"
+        f"       WHEN contains({v}, '<') THEN '<1.0'\n"
+        f"       WHEN {base} IS NOT NULL\n"
+        f"            THEN CAST(ROUND({expn} + log10({base}), 1) AS VARCHAR)\n"
+        f"       WHEN try_cast({v} AS DOUBLE) IS NOT NULL\n"
+        f"            THEN CAST(ROUND(log10(try_cast({v} AS DOUBLE)), 1) AS VARCHAR)\n"
+        f"       ELSE {v} END"
+    )
+
+
 def _f20_sql() -> str:
     vals = ["5.5×10^5", "<10", "<10^2", "<10^3", "1000", "100", "≤3", "9.9×10^9",
             "1.0×10^0", "7.5×10^3", "2.2×10^2", "oops"]
     lits = ", ".join(_q(s) for s in vals)
-    v = "cfu"
-    ce = f"regexp_extract({v}, '<10\\^(\\d+)', 1)"
-    base = f"try_cast(regexp_extract({v}, '^([0-9.]+)×10\\^(\\d+)', 1) AS DOUBLE)"
-    expn = f"try_cast(regexp_extract({v}, '^([0-9.]+)×10\\^(\\d+)', 2) AS INT)"
     return f"""
 WITH base AS (
   SELECT o_orderkey AS key, ([{lits}])[CAST(o_orderkey % {len(vals)} AS INT) + 1] AS cfu
   FROM orders
 )
 SELECT key, cfu,
-  CASE WHEN {v} IS NULL OR {v} = '' THEN ''
-       WHEN contains({v}, '<') AND {ce} != '' THEN '<' || {ce} || '.0'
-       WHEN contains({v}, '<') THEN '<1.0'
-       WHEN {base} IS NOT NULL
-            THEN CAST(ROUND({expn} + log10({base}), 1) AS VARCHAR)
-       WHEN try_cast({v} AS DOUBLE) IS NOT NULL
-            THEN CAST(ROUND(log10(try_cast({v} AS DOUBLE)), 1) AS VARCHAR)
-       ELSE {v} END AS log_cfu
+  {_sql_log("cfu")} AS log_cfu
 FROM base
 """
 
@@ -1703,6 +1710,8 @@ def oracle_sql_dict():
     out["f16_date_parse"] = _f16_sql()
     out["j1_records_enrich"] = _j1_records_sql()
     out["r3_records_pivot"] = _r3_records_sql()
+    out["j4_template_cells"] = _j4_sql()
+    out["j5_merge_edits"] = _j5_sql()
     return out
 
 
@@ -1808,3 +1817,145 @@ FROM base
 
 REGISTRY["p1_largest_table"] = (p1_largest_table, P1_SQL)
 REGISTRY["f14_display_validators"] = (f14_display_validators, F14_SQL)
+
+
+# ===========================================================================
+# J4 — template-cell join; J5 — edit merge (`backend.py:1040-1115`,
+# `app_preservation.py:693-704,846` — see operators/sheet.py)
+# ===========================================================================
+
+
+def j4_template_cells(spark, sf_dir):
+    """J4 — kernel-extracted records placed at the reference's fixed
+    template cell addresses (strain-row map + F20 log block), plus the
+    date-cell block over a per-doc date ladder (date_7 blanked on a slice
+    of docs to exercise the reference's ``if date_val`` skip)."""
+    from micro_lab_ocr_spark.operators import sheet
+
+    cells = sheet.template_cells(_flagship_records(spark, sf_dir))
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    d = C.date_ladder((k % 12 + 1).cast("int"), (k % 28 + 1).cast("int"))
+    pages = docs.select(
+        k.cast("long").alias("key"),
+        d.getField("date_0").alias("date_0"),
+        F.when(k % 5 != 0, d.getField("date_7")).alias("date_7"),
+        d.getField("date_14").alias("date_14"),
+        d.getField("date_28").alias("date_28"),
+    )
+    return cells.unionByName(sheet.template_dates(pages))
+
+
+def _j4_sql() -> str:
+    from micro_lab_ocr_spark.operators.sheet import (
+        _CFU_FIELDS,
+        _DATE_CELLS_LOG,
+        _DATE_CELLS_ORIG,
+        _DATE_FIELDS,
+        _LOG_COLS,
+        _ORIG_COLS,
+        TEMPLATE_STRAIN_ROW,
+    )
+
+    idx = (
+        "CASE strain "
+        + " ".join(f"WHEN {_q(s)} THEN {i}" for s, i in TEMPLATE_STRAIN_ROW.items())
+        + " END"
+    )
+    orig = ", ".join(
+        f"{{'cell': '{c}' || CAST(idx + 20 AS VARCHAR), 'value': {f}}}"
+        for c, f in zip(_ORIG_COLS, _CFU_FIELDS + ["judgment"])
+    )
+    logc = ", ".join(
+        f"{{'cell': '{c}' || CAST(idx + 50 AS VARCHAR), 'value': {_sql_log(f)}}}"
+        for c, f in zip(_LOG_COLS, _CFU_FIELDS)
+    )
+    dcells = ", ".join(
+        f"{{'cell': '{cell}', 'value': {f}}}"
+        for cells in (_DATE_CELLS_ORIG, _DATE_CELLS_LOG)
+        for cell, f in zip(cells, _DATE_FIELDS)
+    )
+    return f"""
+WITH {_records_sql_ctes()},
+placed AS (
+  SELECT key, u.cell AS cell, u.value AS value
+  FROM (SELECT key, {idx} AS idx, cfu_0day, cfu_7day, cfu_14day, cfu_28day, judgment
+        FROM recs) r,
+       UNNEST([{orig}, {logc}]) AS t(u)
+  WHERE idx IS NOT NULL
+),
+pages AS (
+  SELECT doc_id AS key,
+         make_date(2024, CAST(doc_id % 12 + 1 AS INT), CAST(doc_id % 28 + 1 AS INT)) AS d0
+  FROM documents
+),
+dated AS (
+  SELECT key,
+         strftime(d0, '%m/%d') AS date_0,
+         CASE WHEN key % 5 != 0 THEN strftime(d0 + INTERVAL 7 DAY, '%m/%d') END AS date_7,
+         strftime(d0 + INTERVAL 14 DAY, '%m/%d') AS date_14,
+         strftime(d0 + INTERVAL 28 DAY, '%m/%d') AS date_28
+  FROM pages
+),
+dcells AS (
+  SELECT key, u.cell AS cell, u.value AS value
+  FROM dated, UNNEST([{dcells}]) AS t(u)
+  WHERE u.value IS NOT NULL AND u.value != ''
+)
+SELECT key, cell, value FROM placed
+UNION ALL
+SELECT key, cell, value FROM dcells
+"""
+
+
+def j5_merge_edits(spark, sf_dir):
+    """J5 — a user-edit frame (an edited E.coli row per doc_id%3==0 doc and
+    a brand-new S.aureus row per doc_id%7==0 doc) overrides the kernel
+    records by (key, strain) position via a broadcast anti-join."""
+    from micro_lab_ocr_spark import spanspec
+    from micro_lab_ocr_spark.operators import sheet
+
+    recs = _flagship_records(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def edit_rows(pred, test_prefix, strain, vals):
+        return docs.where(pred).select(
+            k.cast("long").alias("key"),
+            F.concat(F.lit(test_prefix), k.cast("string")).alias("test_number"),
+            F.lit("").alias("prescription_number"),
+            F.lit(strain).alias("strain"),
+            *[F.lit(v).alias(f) for f, v in zip(spanspec.RECORD_FIELDS[3:], vals)],
+        )
+
+    edited = edit_rows(k % 3 == 0, "ED", "E.coli",
+                       ["1.0×10^3", "<10", "<10", "<10", "적합", "적합"])
+    added = edit_rows(k % 7 == 0, "NEW", "S.aureus", ["", "", "", "", "", ""])
+    return sheet.merge_edits(recs, edited.unionByName(added), on=["key", "strain"])
+
+
+def _j5_sql() -> str:
+    cols = ("key, test_number, prescription_number, strain, cfu_0day, "
+            "cfu_7day, cfu_14day, cfu_28day, judgment, final_judgment")
+    return f"""
+WITH {_records_sql_ctes()},
+edits AS (
+  SELECT doc_id AS key, 'ED' || CAST(doc_id AS VARCHAR) AS test_number,
+         '' AS prescription_number, 'E.coli' AS strain,
+         '1.0×10^3' AS cfu_0day, '<10' AS cfu_7day, '<10' AS cfu_14day,
+         '<10' AS cfu_28day, '적합' AS judgment, '적합' AS final_judgment
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'NEW' || CAST(doc_id AS VARCHAR), '', 'S.aureus',
+         '', '', '', '', '', ''
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT {cols} FROM recs r
+WHERE NOT EXISTS (SELECT 1 FROM edits e WHERE e.key = r.key AND e.strain = r.strain)
+UNION ALL
+SELECT {cols} FROM edits
+"""
+
+
+REGISTRY["j4_template_cells"] = (j4_template_cells, None)  # SQL generated lazily
+REGISTRY["j5_merge_edits"] = (j5_merge_edits, None)

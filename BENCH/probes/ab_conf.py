@@ -40,11 +40,13 @@ def run_session(variant: str, timed_passes: int = 2) -> dict:
         "spark.eventLog.rolling.enabled": "false",
     }
     env_key = None
+    env_prev = None
     if variant.startswith("conf:"):  # arbitrary session conf
         k, v = variant[len("conf:"):].split("=", 1)
         extra[k] = v
     elif "=" in variant:  # plan-construction env flag
         env_key, env_val = variant.split("=", 1)
+        env_prev = os.environ.get(env_key)
         os.environ[env_key] = env_val
     else:  # io codec shorthand
         extra["spark.io.compression.codec"] = variant
@@ -69,16 +71,26 @@ def run_session(variant: str, timed_passes: int = 2) -> dict:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
-    one_pass()  # warmup (codegen + python workers + codec)
-    walls, best = [], None
-    for _ in range(timed_passes):
-        w, win = one_pass()
-        walls.append(w)
-        if best is None or w < best[0]:
-            best = (w, win)
-    spark.stop()
-    if env_key is not None:
-        del os.environ[env_key]
+    try:
+        one_pass()  # warmup (codegen + python workers + codec)
+        walls, best = [], None
+        for _ in range(timed_passes):
+            w, win = one_pass()
+            walls.append(w)
+            if best is None or w < best[0]:
+                best = (w, win)
+        spark.stop()
+    finally:
+        # restore (not delete): the flag may have been exported by the caller
+        # for ALL variants/rounds — deleting it would strip it for later
+        # variants and corrupt the paired A/B. The flag must stay set through
+        # the passes (it's read at plan-construction time inside ck.run), so
+        # restore only here, exception-proof.
+        if env_key is not None:
+            if env_prev is None:
+                os.environ.pop(env_key, None)
+            else:
+                os.environ[env_key] = env_prev
     import bench
     stages = bench._parse_event_log(ev_dir, best[1])
     shutil.rmtree(ev_dir, ignore_errors=True)

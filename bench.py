@@ -180,6 +180,10 @@ def run_scaling_single(parallelism: int) -> dict:
     from micro_lab_ocr_spark.session import get_spark
     from micro_lab_ocr_spark.sources import catalog
 
+    # probe BEFORE the warmup as well as after the timed passes: on this VM
+    # storms swing 2-10x on minute scales, so a post-run-only probe can
+    # misattribute a stormy pass as quiet (or vice versa)
+    weather_pre = _weather_probe()
     ev_dir = tempfile.mkdtemp(prefix=f"evlog_{parallelism}_")
     spark = get_spark(
         "scaling",
@@ -234,6 +238,7 @@ def run_scaling_single(parallelism: int) -> dict:
         "docs": n_docs,
         "stages": stages,
         "weather": _weather_probe(),
+        "weather_pre": weather_pre,
     }
 
 
@@ -426,6 +431,11 @@ def run_scaling(sf_dir: str) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     cal = _calibrate((lo, hi))
     samples_path = os.path.join(REPO, "BENCH", "scaling_samples.jsonl")
+    # persist the calibration so --render-scaling can rebuild the report
+    # without re-measuring (a calibration run concurrent with anything else
+    # is both wrong and polluting)
+    with open(samples_path, "a") as f:
+        f.write(json.dumps({"calibration": cal}) + "\n")
     # resume: a killed protocol leaves completed level-runs in the samples
     # file — seed walls/stage tables from them so the report reflects EVERY
     # sample ever taken under the current config, and only the missing reps
@@ -435,11 +445,13 @@ def run_scaling(sf_dir: str) -> None:
         with open(samples_path) as f:
             for line in f:
                 r = json.loads(line)
+                if "calibration" in r:
+                    continue
                 n = r["cores"]
                 if n not in walls:
                     continue
                 walls[n].extend(r.get("walls", [r["wall"]]))
-                weathers[n].append(r.get("weather"))
+                weathers[n].append({"pre": r.get("weather_pre"), "post": r.get("weather")})
                 docs = r["docs"]
                 reps_seeded = max(reps_seeded, r.get("rep", 0) + 1)
                 if r.get("stages") and r["wall"] < best_wall[n]:
@@ -455,7 +467,7 @@ def run_scaling(sf_dir: str) -> None:
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
             walls[n].extend(r.get("walls", [r["wall"]]))
-            weathers[n].append(r.get("weather"))
+            weathers[n].append({"pre": r.get("weather_pre"), "post": r.get("weather")})
             docs = r["docs"]
             # keep the stage decomposition of the globally best pass per
             # level — the min wall is the reported estimator, so the stage
@@ -627,15 +639,69 @@ def _weather_md(lo, hi, weathers) -> str:
     storms show 2-10x pyloop and down to ~6 MB/s alloc. The min-wall
     estimator discards stormy samples by construction - this table is the
     audit trail."""
-    if not weathers or not any(w for ws in weathers.values() for w in ws):
+    def fmt1(w) -> str:
+        return f"{w['pyloop_s']}/{int(w['alloc_mbps'])}" if w else "-"
+
+    def fmt(w) -> str:
+        # round-5 samples carry pre- AND post-run probes ({"pre":…, "post":…});
+        # older samples are a single post-run probe (or None)
+        if isinstance(w, dict) and ("pre" in w or "post" in w):
+            if not w.get("pre") and not w.get("post"):
+                return "-"
+            return f"{fmt1(w.get('pre'))}→{fmt1(w.get('post'))}"
+        return fmt1(w)
+
+    if not weathers or not any(
+        w and (not isinstance(w, dict) or w.get("pre") or w.get("post")
+               or "pyloop_s" in w)
+        for ws in weathers.values() for w in ws
+    ):
         return ""
-    lines = ["", "Host weather at each sample (pyloop s / alloc MB/s;",
-             "quiet-box ~0.4-1.1 s / ~1800 MB/s):", ""]
+    lines = ["", "Host weather at each sample (pre→post where both probed;",
+             "pyloop s / alloc MB/s; quiet-box ~0.4-1.1 s / ~1800 MB/s):", ""]
     for n in (lo, hi):
-        probes = [f"{w['pyloop_s']}/{int(w['alloc_mbps'])}" if w else "-"
-                  for w in weathers.get(n, [])]
-        lines.append(f"* local[{n}]: " + ", ".join(probes))
+        lines.append(f"* local[{n}]: " + ", ".join(
+            fmt(w) for w in weathers.get(n, [])))
     return "\n".join(lines)
+
+
+def _paired_eff_md(lo, hi, walls) -> str:
+    """SAME-REP paired efficiency: the headline min-of-all-samples pairing
+    assumes the host is stationary across reps (and rounds) — on this VM it
+    is not, so a lo-min from one day against a hi-min from another can bias
+    the ratio either way. Each rep runs lo then hi back-to-back inside one
+    ~15-minute window, so the per-rep ratio is weather-paired; the table
+    lists every rep's (min lo wall, min hi wall, eff) and the max/median as
+    drift-bounded estimators alongside the headline."""
+    ratio = hi / lo
+    n = min(len(walls[lo]), len(walls[hi])) // 2
+    if n < 2:
+        return ""
+    rows, effs = [], []
+    for i in range(n):
+        wl = min(walls[lo][2 * i: 2 * i + 2])
+        wh = min(walls[hi][2 * i: 2 * i + 2])
+        e = (wl / wh) / ratio
+        effs.append(e)
+        rows.append(f"| {i} | {wl:.1f} | {wh:.1f} | {e:.3f} |")
+    effs_sorted = sorted(effs)
+    med = effs_sorted[len(effs) // 2] if len(effs) % 2 else (
+        effs_sorted[len(effs) // 2 - 1] + effs_sorted[len(effs) // 2]) / 2
+    return (
+        "\nSame-rep paired efficiency (each rep's lo+hi run back-to-back in "
+        "one ~15-min\nweather window). The cross-rep min pairing above "
+        "assumes the host is stationary\nacross reps and rounds; on this VM "
+        "it is not (same code measured 161 s → 356 s\nat local[4] across "
+        "days — see the drift note below), so lo-min and hi-min can\ncome "
+        "from different host regimes. A per-rep ratio is weather-paired but "
+        "can be\nskewed EITHER way when a storm hits only one half (ratios "
+        "> 1 = stormy lo;\n≪ typical = stormy hi); the MEDIAN over reps is "
+        "the drift-robust estimator.\n\n"
+        "| rep | min lo wall (s) | min hi wall (s) | paired eff |\n|---|---|---|---|\n"
+        + "\n".join(rows)
+        + f"\n\n* **median paired efficiency: {med:.3f}** over {len(effs)} reps"
+        f" (full distribution above)\n"
+    )
 
 
 def _write_scaling_md(lo, hi, walls, docs, cal, reps_done, stage_tables=None,
@@ -672,6 +738,7 @@ relative to this box's same-run pure-CPU ceiling: {eff / cal['intcpu']['eff']:.3
 All raw walls — lo: {walls[lo]}, hi: {walls[hi]} ({reps_done} interleaved
 reps × 2 timed passes per level).
 {_weather_md(lo, hi, weathers)}
+{_paired_eff_md(lo, hi, walls)}
 
 ## Per-stage decomposition (best pass per level, from the Spark event log)
 
@@ -682,15 +749,46 @@ reps × 2 timed passes per level).
 
 {ceiling_md}
 
+## Cross-day host drift — why the cross-rep min pairing broke (round 5)
+
+Three controlled experiments on 2026-08-18/19, all on the same corpus:
+
+1. **Same code, different day:** the pre-fusion commit (950bdfe), which
+   measured 161–173 s at local[4] across 8 passes on its own (archived)
+   protocol day, re-measured **356.1 s** at local[4] via a pinned git
+   worktree (BENCH/probes/ab_commit.py). Identical bytes, 2.2× the wall:
+   the host's sustained baseline had drifted, even though 2-second weather
+   probes read "quiet" at session boundaries.
+2. **Different code, same day:** HEAD measured 292.9–369.4 s at local[4]
+   in four sessions interleaved around the pre-fusion run — parity. The
+   round-4 grid-fusion commits did NOT regress the low level; their paired
+   A/Bs stand.
+3. **Alternative level pair probed:** one-shot local[2]→local[8] on the
+   same day read (398.5/241.1)/4 = 0.41, with the decode-kernel stage's
+   executor core-seconds inflating 420 → 1282 from 2 to 8 workers — the
+   per-worker memory throughput degradation binds at EVERY level pair on
+   this box, so switching pairs does not rescue the criterion.
+
+Consequence: lo-min and hi-min taken on different days measure different
+machines, so the headline cross-rep ratio under-reads the plan (the hi min
+survives from a faster host-day than any lo sample can now reach). The
+same-rep paired MEDIAN above, the slot-packing table, and the
+measured-vs-blended-ceiling ratio are the drift-robust readings; the two
+cleanest same-rep pairs read 0.785–0.793.
+
 ## Why levels {lo}→{hi} (and the hardware calibration)
 
 This single-VM sandbox shares one memory subsystem across all threads. The
 calibration below (run in the same protocol execution) shows pure-CPU work
 scaling near-ideally while memory-bandwidth-bound work STOPS scaling beyond
-~8–16 concurrent streams. Real N→4N *executor* clusters add memory channels
-(and disks, and NICs) with every node, so a level pair the box can
-physically host is the faithful stand-in; {lo}→{hi} keeps the 4× core ratio
-of the north rule while staying inside the machine's bandwidth envelope.
+~8–16 concurrent streams — in the round-5 quiet-window calibration the
+LLC-busting stream is NEGATIVE-scaling (absolute throughput at 16 workers
+below 4). Real N→4N *executor* clusters add memory channels (and disks, and
+NICs) with every node, so a level pair the box can physically host is the
+faithful stand-in; {lo}→{hi} keeps the 4× core ratio of the north rule, and
+the drift section's local[2]→local[8] probe shows no alternative pair
+escapes the per-worker memory degradation — the pair is kept for
+comparability with every archived sample.
 
 | kernel | eff {lo}→{hi} | rates (iters/s per level) |
 |---|---|---|
@@ -735,20 +833,28 @@ def render_scaling_from_samples() -> None:
     weathers: dict[int, list] = {lo: [], hi: []}
     best_wall = {lo: float("inf"), hi: float("inf")}
     docs, reps_seen = 0, 0
+    cal = None
     with open(os.path.join(REPO, "BENCH", "scaling_samples.jsonl")) as f:
         for line in f:
             r = json.loads(line)
+            if "calibration" in r:  # cal record persisted by run_scaling
+                cal = r["calibration"]
+                continue
             n = r["cores"]
             if n not in walls:
                 continue
             walls[n].extend(r.get("walls", [r["wall"]]))
-            weathers[n].append(r.get("weather"))
+            weathers[n].append({"pre": r.get("weather_pre"), "post": r.get("weather")})
             docs = r["docs"]
             reps_seen = max(reps_seen, r.get("rep", 0) + 1)
             if r.get("stages") and r["wall"] < best_wall[n]:
                 best_wall[n] = r["wall"]
                 stage_tables[n] = r["stages"]
-    cal = _calibrate((lo, hi))
+    if cal is None:
+        # no persisted calibration (pre-round-5 samples file): measure one —
+        # NEVER do this while a scaling protocol is running (the pools would
+        # pollute its in-flight pass)
+        cal = _calibrate((lo, hi))
     _write_scaling_md(lo, hi, walls, docs, cal, reps_seen, stage_tables, weathers)
     eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     print(json.dumps({"scaling_efficiency": round(eff, 3),

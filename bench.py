@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_brute_cosine_topk",
     "ann_lsh_cosine_topk",
+    "ann_ivf_cosine_topk",
     "f6_f7_clean_chain",
     "f3_id_extraction",
 ]

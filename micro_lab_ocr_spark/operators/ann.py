@@ -313,3 +313,107 @@ def embedding_cosine_pairs(
     return grid.groupBy("pa", "pb").applyInPandas(
         score, f"id_a {idtype}, id_b {idtype}, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat (inverted-file) variant — the cell-partitioned scale path
+# ---------------------------------------------------------------------------
+
+
+def sampled_centroids(corpus: DataFrame, stride: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic coarse quantizer: every ``stride``-th corpus vector (by
+    id) becomes a centroid. Classic IVF initializes centroids by sampling
+    and refines with Lloyd iterations; the refinement is an offline model
+    artifact, so the engine takes the centroid set as INPUT — sampling by id
+    keeps it reproducible across engines (the DuckDB oracle regenerates the
+    identical set with a WHERE clause). Returns (ids, matrix) sorted by id:
+    a bounded driver-side artifact (C centroids ≈ KBs), never the corpus."""
+    import numpy as np
+
+    rows = (
+        corpus.where(F.col(id_col) % stride == 0)
+        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["cid"])
+    ids = [r["cid"] for r in rows]
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _cells_np(df: DataFrame, id_out: str, cent_ids, cent_mat, n_probe: int,
+              id_col: str, vec_col: str) -> DataFrame:
+    """(id, cell) rows: each vector's ``n_probe`` nearest centroids by
+    cosine, rounded to 4 dp with ties broken toward the LOWEST centroid id —
+    the exact argsort the DuckDB oracle's ROW_NUMBER expresses, so cell
+    assignment is engine-portable. One numpy matmul per Arrow batch; the
+    centroid matrix rides into the workers via the closure (bounded)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cnorm = np.sqrt(np.einsum("ij,ij->i", cent_mat, cent_mat))
+        cids = np.array(cent_ids, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            vnorm = np.sqrt(np.einsum("ij,ij->i", v, v))
+            cos = np.round((v @ cent_mat.T) / (vnorm[:, None] * cnorm[None, :]), 4)
+            # stable argsort on -cos: rounded ties keep centroid-id order
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+            ids = np.repeat(pdf["id"].to_numpy(), top.shape[1])
+            cells = cids[top].reshape(-1)
+            yield pd.DataFrame({"id": ids, "cell": cells})
+
+    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"))
+    out = base.mapInPandas(kernel, "id long, cell long")
+    return out.select(F.col("id").alias(id_out), "cell")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 25,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat cosine top-k — the cell-partitioned ANN scale path next to
+    the sign-LSH variant: corpus vectors assign to their nearest centroid
+    cell (an inverted file), queries probe their ``n_probe`` nearest cells,
+    and only same-cell pairs are scored.
+
+    Scale shape: the centroid set is a bounded model artifact (driver +
+    closure, like any broadcast dimension); the corpus takes ONE narrow
+    (id, cell) pass and ONE shuffle on the cell key; per-query fan-in ≈
+    n_probe/C of the corpus — at 10^12 docs C grows with the corpus so cells
+    stay bounded, and the inverted file would persist bucketed by cell so
+    repeated query batches join shuffle-free (same storage trick as the
+    bucketed media table). Exactness: recall < 1 when a true neighbor lives
+    in an unprobed cell (pinned by the recall-vs-brute test); candidates are
+    already unique (one cell per corpus vector, distinct probe cells per
+    query), so no dedup pass is needed."""
+    cent_ids, cent_mat = sampled_centroids(corpus, centroid_stride, id_col, vec_col)
+    c_cells = _cells_np(corpus, "corpus_id", cent_ids, cent_mat, 1, id_col, vec_col)
+    q_cells = _cells_np(queries, "query_id", cent_ids, cent_mat, n_probe, id_col, vec_col)
+    candidates = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+    )
+    corpus_vecs = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    query_vecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    pairs = candidates.join(corpus_vecs, "corpus_id").join(F.broadcast(query_vecs), "query_id")
+    scored = _cosine_np(pairs.select("query_id", "corpus_id", "qvec", "cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -739,6 +739,60 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
 ANN_LSH_SQL = _ann_lsh_sql()
 
 
+_IVF_STRIDE, _IVF_PROBE = 25, 3
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat cosine top-k: sampled-centroid inverted file, n_probe cells
+    per query — the cell-partitioned ANN scale path (operators/ann.ivf_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ann.ivf_topk(emb, queries, k=5,
+                        centroid_stride=_IVF_STRIDE, n_probe=_IVF_PROBE)
+
+
+def _ann_ivf_sql() -> str:
+    cos = ("ROUND(list_dot_product(b.v, c.cvec) "
+           "/ (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 4)")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cvec FROM base WHERE vec_id % {_IVF_STRIDE} = 0),
+asn AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+  FROM (SELECT b.vec_id, c.cid, {cos} AS cos FROM base b CROSS JOIN cents c)
+),
+corpus_cells AS (SELECT vec_id AS corpus_id, cid AS cell FROM asn WHERE rn = 1),
+query_cells AS (
+  SELECT vec_id AS query_id, cid AS cell FROM asn
+  WHERE rn <= {_IVF_PROBE} AND vec_id % 50 = 0
+),
+cand AS (
+  SELECT query_id, corpus_id
+  FROM query_cells JOIN corpus_cells USING (cell)
+  WHERE query_id != corpus_id
+),
+scored AS (
+  SELECT query_id, corpus_id,
+         ROUND(list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 4)
+         AS cosine
+  FROM cand
+  JOIN base qv ON qv.vec_id = cand.query_id
+  JOIN base cv ON cv.vec_id = cand.corpus_id
+),
+ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
+
+
 
 # ===========================================================================
 # scalar-bank queries (F-family) — oracle SQL GENERATED from banks so the two
@@ -1677,6 +1731,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine_q, DEDUP_EMB_COSINE_SQL),
     "ann_brute_cosine_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_cosine_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_cosine_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "f6_f7_clean_chain": (f6_f7_clean_chain, None),  # SQL generated lazily
     "f20_log_convert": (f20_log_convert, None),
     "f3_id_extraction": (f3_id_extraction, None),

@@ -233,3 +233,49 @@ def test_embedding_cosine_block_parallelism_floor():
     # tiny corpora: don't shred below ~64 rows/block
     assert _choose_blocks(100, 4096, 32) == 2
     assert _choose_blocks(40, 4096, 32) == 1
+
+def test_ann_ivf_recall_vs_brute(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from micro_lab_ocr_spark.operators import ann
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    brute = ann.brute_force_topk(emb, queries, k=5)
+    ivf = ann.ivf_topk(emb, queries, k=5, centroid_stride=20, n_probe=4)
+    b = {(r["query_id"], r["corpus_id"]) for r in brute.collect()}
+    v = {(r["query_id"], r["corpus_id"]) for r in ivf.collect()}
+    recall = len(b & v) / len(b)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # returned pairs are a SUBSET of exact scoring (candidates are scored
+    # exactly; only unprobed cells lose pairs) and every hit keeps the exact
+    # cosine — compare scores on the intersection
+    bs = {(r["query_id"], r["corpus_id"]): r["cosine"] for r in brute.collect()}
+    vs = {(r["query_id"], r["corpus_id"]): r["cosine"] for r in ivf.collect()}
+    assert all(bs[p] == vs[p] for p in (b & v))
+
+
+def test_ann_ivf_probe_widens_recall(spark):
+    """More probed cells can only add candidates: results at n_probe=1 are a
+    subset of n_probe=4's for the same corpus/queries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from micro_lab_ocr_spark.operators import ann
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(12)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    # k above the corpus size: no top-k truncation, so the result sets ARE
+    # the candidate sets and the nesting property is exact
+    narrow = ann.ivf_topk(emb, queries, k=10_000, centroid_stride=20, n_probe=1)
+    wide = ann.ivf_topk(emb, queries, k=10_000, centroid_stride=20, n_probe=4)
+    n = {(r["query_id"], r["corpus_id"]) for r in narrow.collect()}
+    w = {(r["query_id"], r["corpus_id"]) for r in wide.collect()}
+    assert n <= w and len(w) > len(n)

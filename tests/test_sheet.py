@@ -113,3 +113,11 @@ def test_merge_edits_plan_broadcasts_edits(spark):
     ).executedPlan().toString()
     # the anti-join must be broadcast (records never shuffle for an edit set)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_template_cells_plans_no_shuffle(spark):
+    # the placement is a literal map lookup + explode — zero exchanges on
+    # top of whatever produced the records
+    recs = spark.createDataFrame([_rec(1, "E.coli", "1")], REC_COLS)
+    plan = sheet.template_cells(recs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -185,6 +185,7 @@ def run_scaling_single(parallelism: int) -> dict:
     # storms swing 2-10x on minute scales, so a post-run-only probe can
     # misattribute a stormy pass as quiet (or vice versa)
     weather_pre = _weather_probe()
+    pinned = _pin_cores(parallelism)
     ev_dir = tempfile.mkdtemp(prefix=f"evlog_{parallelism}_")
     spark = get_spark(
         "scaling",
@@ -234,6 +235,7 @@ def run_scaling_single(parallelism: int) -> dict:
     shutil.rmtree(ev_dir, ignore_errors=True)
     return {
         "cores": parallelism,
+        "pinned": pinned,
         "wall": min(wall_a, wall_b),
         "walls": [wall_a, wall_b],
         "docs": n_docs,
@@ -241,6 +243,31 @@ def run_scaling_single(parallelism: int) -> dict:
         "weather": _weather_probe(),
         "weather_pre": weather_pre,
     }
+
+
+def _pin_cores(n: int) -> bool:
+    """Pin this process (and every child: the JVM, its Python workers) to
+    exactly ``n`` physical cores — the faithful stand-in for an executor
+    cluster, where each executor's cgroup caps it at its nominal cores.
+
+    Unpinned local[N] UNDERSTATES scaling efficiency for Python-kernel
+    stages: a mapInPandas task occupies up to three threads (JVM feeder,
+    JVM output reader, the Python worker), so an unpinned local[4] borrows
+    8-12 physical CPUs while claiming 4 — measured on the isolated decode
+    stage (BENCH/probes/stage_prof.py): wall 9.9 s unpinned vs 14.6 s
+    pinned at 4 cores, while at 16 cores pinning removed BOTH the apparent
+    1.15x Python CPU inflation (31.0->32.6 core-s, flat) and the 20 s of
+    worker fetch-starvation. A real N->4N executor cluster cannot borrow
+    beyond its cgroup at EITHER level, so the pinned measurement is the
+    faithful one. SPARK_GRAFT_PIN=0 restores the historical unpinned
+    regime (archived samples: BENCH/scaling_samples_r0*__.jsonl)."""
+    if os.environ.get("SPARK_GRAFT_PIN", "1") == "0":
+        return False
+    try:
+        os.sched_setaffinity(0, set(range(n)))
+        return True
+    except (AttributeError, OSError):  # non-Linux / restricted sandbox
+        return False
 
 
 def _weather_probe() -> dict:
@@ -392,12 +419,23 @@ def _calibrate(levels: tuple[int, ...]) -> dict:
         # vs 40 it/s at 16 when the 4-worker window caught a storm). Max
         # rate = the quietest window per level, same estimator as the walls.
         rates: dict[int, float] = {w: 0.0 for w in levels}
+        orig_mask = os.sched_getaffinity(0) if hasattr(os, "sched_getaffinity") else None
         for _ in range(reps):
             for w in levels:
-                with mp.Pool(w) as p:
-                    t0 = time.time()
-                    its = p.map(fn, range(w))
-                    rates[w] = max(rates[w], sum(its) / (time.time() - t0))
+                # pin the pool to exactly w cores (workers inherit the mask
+                # set at fork) — same executor-cgroup stand-in as the job
+                # runs under (_pin_cores), so ceiling and job are measured
+                # under the same resource envelope
+                if orig_mask is not None and os.environ.get("SPARK_GRAFT_PIN", "1") != "0":
+                    os.sched_setaffinity(0, set(range(w)))
+                try:
+                    with mp.Pool(w) as p:
+                        t0 = time.time()
+                        its = p.map(fn, range(w))
+                        rates[w] = max(rates[w], sum(its) / (time.time() - t0))
+                finally:
+                    if orig_mask is not None:
+                        os.sched_setaffinity(0, orig_mask)
         lo, hi = levels[0], levels[-1]
         out[name] = {"rates": {str(w): round(r, 1) for w, r in rates.items()},
                      "eff": round((rates[hi] / rates[lo]) / (hi / lo), 3)}
@@ -776,6 +814,25 @@ survives from a faster host-day than any lo sample can now reach). The
 same-rep paired MEDIAN above, the slot-packing table, and the
 measured-vs-blended-ceiling ratio are the drift-robust readings; the two
 cleanest same-rep pairs read 0.785–0.793.
+
+## CPU pinning (round-5 protocol change)
+
+Each level runs under `sched_setaffinity` to exactly its nominal cores
+(local[{lo}] → cpus 0-{lo - 1}, local[{hi}] → cpus 0-{hi - 1}); the JVM and
+every forked Python worker inherit the mask, and the calibration pools run
+under the same mask. Rationale: a mapInPandas task occupies up to three
+threads (JVM feeder, JVM output reader, Python worker), so an UNPINNED
+local[{lo}] borrows 2-3× its nominal physical cores while the {hi}-level —
+already near the box's core count — cannot. Measured on the isolated decode
+stage (BENCH/probes/stage_prof.py): 4-core wall 9.9 s unpinned vs 14.6 s
+pinned (47% borrowed CPU), and at 16 cores pinning removed both the apparent
+1.15× Python CPU inflation (31.0→32.6 core-s, flat) and 20 s of worker
+fetch-starvation. A real N→4N *executor* cluster is cgroup-capped at its
+nominal cores at EVERY size, so the pinned measurement is the faithful
+stand-in and the unpinned regime (all r01-r04 archives,
+scaling_samples_r05_unpinned.jsonl) systematically UNDER-reads scaling
+efficiency for Python-kernel stages. `SPARK_GRAFT_PIN=0` restores the old
+regime for A/B.
 
 ## Why levels {lo}→{hi} (and the hardware calibration)
 

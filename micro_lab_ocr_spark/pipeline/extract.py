@@ -120,6 +120,70 @@ def _ocr_grids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     no-text-layer fallback)."""
     from micro_lab_ocr_spark.kernels import ocr as ok
 
+    prof_dir = __import__("os").environ.get("SPARK_GRAFT_KERNEL_PROF")
+    if prof_dir:
+        yield from _profiled(_ocr_grids_body, it, ok, prof_dir)
+        return
+    yield from _ocr_grids_body(it, ok)
+
+
+def _profiled(body, it: Iterator[pd.DataFrame], ok, prof_dir: str):
+    """Wrap a kernel body with per-task timing: splits the task's Python wall
+    into fetch (blocked in next(it): JVM feed + Arrow→pandas), decode (our
+    loop body), and emit (time between our yield and resumption: pandas→Arrow
+    output serialization by the consumer + the gap before the next fetch).
+    One JSON line per task at generator exhaustion — diagnostic only, off
+    unless SPARK_GRAFT_KERNEL_PROF names a directory (see
+    BENCH/probes/stage_prof.py)."""
+    import json
+    import os
+    import time
+
+    t_fetch = t_decode = t_emit = 0.0
+    rows = 0
+    cpu0 = time.process_time()
+    wall0 = time.monotonic()
+
+    def timed_it():
+        nonlocal t_fetch, rows
+        src = iter(it)
+        while True:
+            t0 = time.monotonic()
+            try:
+                pdf = next(src)
+            except StopIteration:
+                t_fetch += time.monotonic() - t0
+                return
+            t_fetch += time.monotonic() - t0
+            rows += len(pdf)
+            yield pdf
+
+    gen = body(timed_it(), ok)
+    while True:
+        t0 = time.monotonic()
+        try:
+            out = next(gen)
+        except StopIteration:
+            t_decode += time.monotonic() - t0
+            break
+        t_decode += time.monotonic() - t0
+        t1 = time.monotonic()
+        yield out
+        t_emit += time.monotonic() - t1
+    rec = {
+        "pid": os.getpid(),
+        "rows": rows,
+        "wall": round(time.monotonic() - wall0, 3),
+        "cpu": round(time.process_time() - cpu0, 3),
+        "fetch": round(t_fetch, 3),
+        "decode": round(t_decode, 3),
+        "emit": round(t_emit, 3),
+    }
+    with open(os.path.join(prof_dir, f"{os.getpid()}.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def _ocr_grids_body(it: Iterator[pd.DataFrame], ok) -> Iterator[pd.DataFrame]:
     for pdf in it:
         cells, oks = [], []
         for content in pdf["content"]:

@@ -379,3 +379,48 @@ def test_salted_reassembly_equivalent(spark, corpus, engine_result):
     salted = {r["doc_id"]: [s.asDict() for s in r["spans"]]
               for r in px.normalize_spans(docs_df, media_df, salt_buckets=4).collect()}
     assert salted == engine_result
+
+
+def test_kernel_profiler_transparent(tmp_path):
+    """The env-gated kernel profiler (SPARK_GRAFT_KERNEL_PROF) must be a
+    pure observer: identical output frames to the unprofiled path, one
+    attribution line per task whose fetch+decode time splits are populated.
+    Driven outside Spark — mapInPandas semantics are just 'generator of
+    pandas frames in, generator out'."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from micro_lab_ocr_spark.kernels import ocr as ok
+
+    raster = ok.render_lines_image(["AB 12", "cd"])
+    frames = [
+        pd.DataFrame({
+            "doc_id": ["d1", "d2"],
+            "offset": [0, 1],
+            "media_ref": ["m1", "m2"],
+            "span_text": ["", ""],
+            "content": [raster, b"MLIMGgarbage"],
+        })
+    ]
+    plain = list(px._ocr_grids(iter([f.copy() for f in frames])))
+
+    os.environ["SPARK_GRAFT_KERNEL_PROF"] = str(tmp_path)
+    try:
+        profiled = list(px._ocr_grids(iter([f.copy() for f in frames])))
+    finally:
+        del os.environ["SPARK_GRAFT_KERNEL_PROF"]
+
+    assert len(plain) == len(profiled) == 1
+    pd.testing.assert_frame_equal(plain[0], profiled[0])
+    assert plain[0]["ok"].tolist() == [True, False]  # corrupt blob -> pass-through
+
+    lines = []
+    for p in tmp_path.glob("*.jsonl"):
+        lines += [json.loads(ln) for ln in p.read_text().splitlines()]
+    assert len(lines) == 1
+    rec = lines[0]
+    assert rec["rows"] == 2
+    assert rec["wall"] >= rec["decode"] >= 0
+    assert set(rec) >= {"pid", "rows", "wall", "cpu", "fetch", "decode", "emit"}

@@ -743,6 +743,55 @@ def _paired_eff_md(lo, hi, walls) -> str:
     )
 
 
+def _cluster_md() -> str:
+    """Render the TRUE multi-executor samples (BENCH/cluster_samples.jsonl,
+    written by BENCH/probes/cluster_run.py: a local standalone cluster —
+    separate master/worker/executor JVMs, localhost-TCP shuffle, each worker
+    taskset-pinned to its own 4-core block — submitted via spark-submit
+    --py-files at two cluster sizes). Empty string until samples exist."""
+    path = os.path.join(REPO, "BENCH", "cluster_samples.jsonl")
+    if not os.path.exists(path):
+        return ""
+    walls: dict[int, list[float]] = {}
+    cores: dict[int, int] = {}
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            if "workers" not in r:
+                continue
+            walls.setdefault(r["workers"], []).extend(r["walls"])
+            cores[r["workers"]] = r.get("exec_cores", 4)
+    if len(walls) < 2:
+        return ""
+    lo, hi = min(walls), max(walls)
+    t_lo, t_hi = min(walls[lo]), min(walls[hi])
+    eff = (t_lo / t_hi) / (hi / lo)
+    rows = "\n".join(
+        f"| {w} executor(s) × {cores[w]} cores | {min(ws):.2f} | {ws} |"
+        for w, ws in sorted(walls.items())
+    )
+    return f"""
+## True multi-executor cluster — spark-submit at N vs 4N executors
+
+The north rule asks for the job \"run via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes (N and 4N executors)\". The
+local[N] protocol above is the thread-level stand-in; this section is the
+criterion measured LITERALLY on a local Spark standalone cluster: separate
+master/worker/executor JVMs, localhost-TCP shuffle between them, one
+executor per worker, each worker `taskset`-pinned to its own disjoint
+{cores[lo]}-core block (the cgroup-faithful executor envelope), submitted
+with `spark-submit --py-files dist/micro_lab_ocr_spark.zip`
+(BENCH/probes/cluster_run.py; samples in BENCH/cluster_samples.jsonl).
+
+| cluster size | min wall (s) | raw walls |
+|---|---|---|
+{rows}
+
+**Executor-scaling efficiency (T_{lo}exec/T_{hi}exec)/{hi // lo} =
+{eff:.3f}** (target ≥ 0.8).
+"""
+
+
 def _write_scaling_md(lo, hi, walls, docs, cal, reps_done, stage_tables=None,
                       weathers=None) -> None:
     t_lo = min(walls[lo])
@@ -788,9 +837,13 @@ reps × 2 timed passes per level).
 
 {ceiling_md}
 
-## Cross-day host drift — why the cross-rep min pairing broke (round 5)
+{_cluster_md()}
+## Cross-day host drift (observed under the UNPINNED r04/r05 protocol)
 
-Three controlled experiments on 2026-08-18/19, all on the same corpus:
+Host facts that motivated the estimator discipline; the walls quoted are
+from the archived unpinned regime (scaling_samples_r05_unpinned.jsonl) and
+are not comparable to the pinned table above. Three controlled experiments
+on 2026-08-18/19, all on the same corpus:
 
 1. **Same code, different day:** the pre-fusion commit (950bdfe), which
    measured 161–173 s at local[4] across 8 passes on its own (archived)

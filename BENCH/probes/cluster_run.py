@@ -34,7 +34,12 @@ import pyspark  # noqa: E402
 
 SPARK_BIN = os.path.join(os.path.dirname(pyspark.__file__), "bin")
 MASTER_URL = "spark://127.0.0.1:7077"
-EXEC_CORES = 4
+# Executor size is configurable: the north rule fixes the RATIO (N vs 4N
+# executors), not the executor core count. On this shared-memory box the
+# 4-core pair (4->16 total cores) runs into the measured memory-bandwidth
+# saturation knee (~8-16 streams); a 2-core pair (2->8 total) stays below
+# it, so both families are measured and reported separately.
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
 EXEC_MEM = "8g"
 
 
@@ -121,6 +126,12 @@ def main() -> None:
     log_dir = "/tmp/cluster_scale_logs"
     os.makedirs(log_dir, exist_ok=True)
     samples_path = os.path.join(REPO, "BENCH", "cluster_samples.jsonl")
+    # hardware-ceiling calibration at this family's TOTAL core pair (same
+    # kernels as the local protocol), so the report can state where this
+    # pair sits relative to the box's memory-bandwidth saturation knee
+    cal = bench._calibrate((lo * EXEC_CORES, hi * EXEC_CORES))
+    with open(samples_path, "a") as f:
+        f.write(json.dumps({"calibration": cal, "exec_cores": EXEC_CORES}) + "\n")
     walls: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(reps):
         for w in (lo, hi):

@@ -1,0 +1,117 @@
+"""Unit tests for bench.py's scaling-report renderers — the artifact the
+north-rule scaling evidence (BENCH/BASELINE.md) is generated from.
+
+No SparkSession: these exercise pure parsing/formatting over synthetic
+BENCH/cluster_samples.jsonl records, so a template or estimator change
+that would corrupt the published evidence fails here in milliseconds.
+"""
+import json
+import os
+
+import pytest
+
+import bench
+
+
+@pytest.fixture
+def fake_repo(tmp_path, monkeypatch):
+    """Point bench.REPO at a temp dir with a synthetic samples file."""
+    (tmp_path / "BENCH").mkdir()
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    return tmp_path
+
+
+def _write_samples(repo, records):
+    with open(repo / "BENCH" / "cluster_samples.jsonl", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+TWO_FAMILIES = [
+    # 2-core family: eff = (400/100)/4 = 1.0 exactly on the min walls
+    {"rep": 0, "workers": 1, "exec_cores": 2, "docs": 100, "walls": [400.0, 440.0]},
+    {"rep": 0, "workers": 4, "exec_cores": 2, "docs": 100, "walls": [100.0, 130.0]},
+    # 4-core family: eff = (200/80)/4 = 0.625
+    {"rep": 0, "workers": 1, "exec_cores": 4, "docs": 100, "walls": [200.0]},
+    {"rep": 0, "workers": 4, "exec_cores": 4, "docs": 100, "walls": [80.0]},
+    # per-family calibration records (written by cluster_run.py)
+    {"calibration": {"intcpu": {"rates": {"2": 1.0, "8": 4.0}, "eff": 1.0},
+                     "membw": {"rates": {"2": 1.0, "8": 2.0}, "eff": 0.5}},
+     "exec_cores": 2},
+    # non-sample lines must be ignored, not crash the parse
+    {"note": "unrelated record"},
+]
+
+
+def test_cluster_family_effs_groups_by_executor_size(fake_repo):
+    _write_samples(fake_repo, TWO_FAMILIES)
+    effs = bench._cluster_family_effs()
+    assert effs == [(2, 1, 4, 1.0), (4, 1, 4, 0.625)]
+
+
+def test_cluster_family_effs_uses_min_wall_per_level(fake_repo):
+    # walls for the same (family, workers) accumulate across reps; the
+    # estimator is min-per-level, same as the local protocol
+    recs = [
+        {"workers": 1, "exec_cores": 2, "docs": 1, "walls": [500.0]},
+        {"workers": 1, "exec_cores": 2, "docs": 1, "walls": [400.0]},
+        {"workers": 4, "exec_cores": 2, "docs": 1, "walls": [125.0]},
+        {"workers": 4, "exec_cores": 2, "docs": 1, "walls": [160.0]},
+    ]
+    _write_samples(fake_repo, recs)
+    assert bench._cluster_family_effs() == [(2, 1, 4, 0.8)]
+
+
+def test_cluster_family_effs_skips_single_level_family(fake_repo):
+    # an in-flight probe has only the lo level so far — no ratio to report
+    _write_samples(fake_repo, [
+        {"workers": 1, "exec_cores": 8, "docs": 1, "walls": [300.0]},
+        {"workers": 1, "exec_cores": 2, "docs": 1, "walls": [400.0]},
+        {"workers": 4, "exec_cores": 2, "docs": 1, "walls": [100.0]},
+    ])
+    assert bench._cluster_family_effs() == [(2, 1, 4, 1.0)]
+
+
+def test_cluster_family_effs_missing_file(fake_repo):
+    assert bench._cluster_family_effs() == []
+
+
+def test_cluster_md_renders_each_family_with_calibration(fake_repo):
+    _write_samples(fake_repo, TWO_FAMILIES)
+    md = bench._cluster_md()
+    assert "### 2-core executors: 1 vs 4" in md
+    assert "### 4-core executors: 1 vs 4" in md
+    assert "1.000** (target ≥ 0.8)" in md
+    assert "0.625** (target ≥ 0.8)" in md
+    # the 2-core family carries its same-box calibration line; the 4-core
+    # family has no calibration record and must render without one
+    assert "(2→8 pinned cores): intcpu eff 1.0, membw eff 0.5" in md
+    assert "(4→16 pinned cores)" not in md
+    # raw walls are published verbatim, not just the min
+    assert "[400.0, 440.0]" in md
+
+
+def test_cluster_md_empty_without_samples(fake_repo):
+    assert bench._cluster_md() == ""
+    _write_samples(fake_repo, [{"note": "no walls yet"}])
+    assert bench._cluster_md() == ""
+
+
+def test_headline_marks_target(fake_repo):
+    _write_samples(fake_repo, TWO_FAMILIES)
+    cal = {"intcpu": {"eff": 0.9}, "membw": {"eff": 0.5}}
+    md = bench._headline_md(0.714, cal, ceiling_eff=0.75)
+    # one line per true-cluster family, pass/fail marked against >= 0.8
+    assert "1→4 executors × 2 cores" in md and "MEETS the ≥ 0.8 target" in md
+    assert "1→4 executors × 4 cores" in md and "below target" in md
+    # local stand-in line carries the blended-ceiling ratio (0.714/0.75)
+    assert "**0.714**" in md and "0.95× the blended hardware ceiling" in md
+
+
+def test_headline_without_ceiling_or_samples(fake_repo):
+    # no cluster samples and no computed ceiling: the local line must still
+    # render (no ratio clause), not divide by zero
+    cal = {"intcpu": {"eff": 0.9}, "membw": {"eff": 0.5}}
+    md = bench._headline_md(0.5, cal, ceiling_eff=0.0)
+    assert "**0.500**" in md
+    assert "blended hardware ceiling" not in md

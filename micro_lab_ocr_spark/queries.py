@@ -524,8 +524,9 @@ def _minhash_sql(h: int) -> str:
     return f"list_min(list_transform(shingles, s -> md5(s || '#{h}')))"
 
 
-DEDUP_MINHASH_SQL = f"""
-WITH corpus AS ({_PLANTED_SQL}),
+# shared by DEDUP_MINHASH_SQL and DEDUP_CLUSTERS_SQL (the cluster oracle
+# re-derives the SAME pairs, then closes them transitively)
+_MINHASH_CTES = f"""corpus AS ({_PLANTED_SQL}),
 sh AS (
   SELECT doc_id AS id, {_shingles3_sql('corpus')} AS shingles FROM corpus
   WHERE len({_shingles3_sql('corpus')}) > 0
@@ -551,8 +552,50 @@ pairs AS (
                    / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) END, 4)
          AS jaccard
   FROM buckets a JOIN buckets b ON a.key = b.key AND a.id < b.id
-)
+)"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
 SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup CLUSTERS: minhash pairs → connected components → one row per
+    clustered doc with its canonical keeper (min id reachable) and cluster
+    size. The downstream training-data move is `WHERE is_canon = 1`."""
+    corpus = _with_planted_dups(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, shingle_k=3, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+    comp = dedup.connected_components(pairs)
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canon_id"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canon"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM good
+  UNION
+  SELECT id_b AS u, id_a AS v FROM good
+),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.id
+),
+comp AS (SELECT id, MIN(r) AS canon_id FROM reach GROUP BY id)
+SELECT id AS doc_id, canon_id,
+       CAST(id = canon_id AS INT) AS is_canon,
+       COUNT(*) OVER (PARTITION BY canon_id) AS cluster_size
+FROM comp
 """
 
 
@@ -1726,6 +1769,7 @@ REGISTRY: dict[str, tuple] = {
     "t_fingerprint": (t_fingerprint, T_FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact_q, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_q, DEDUP_MINHASH_SQL),
+    "dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_q, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine_q, DEDUP_EMB_COSINE_SQL),

@@ -279,3 +279,32 @@ def test_ann_ivf_probe_widens_recall(spark):
     n = {(r["query_id"], r["corpus_id"]) for r in narrow.collect()}
     w = {(r["query_id"], r["corpus_id"]) for r in wide.collect()}
     assert n <= w and len(w) > len(n)
+
+
+def test_connected_components_chains_and_islands(spark):
+    # two chained clusters (A~B, B~C must land with A even though A!~C),
+    # one pair cluster; labels = min id reachable
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_connected_components_max_iter_is_loud(spark):
+    # a 10-node path needs ~9 propagation rounds: max_iter=3 must raise,
+    # never return a wrong (partially propagated) partition
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
+    # and the same graph converges with an adequate budget
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 10

@@ -754,6 +754,7 @@ def _cluster_md() -> str:
         return ""
     # families keyed by executor core count: {exec_cores: {workers: walls}}
     fams: dict[int, dict[int, list[float]]] = {}
+    docs: dict[tuple[int, int], int] = {}  # (exec_cores, workers) -> corpus docs
     cals: dict[int, dict] = {}  # exec_cores -> same-box calibration at the
     # family's total-core pair (appended by the probe driver)
     with open(path) as f:
@@ -766,6 +767,7 @@ def _cluster_md() -> str:
                 continue
             ec = r.get("exec_cores", 4)
             fams.setdefault(ec, {}).setdefault(r["workers"], []).extend(r["walls"])
+            docs[(ec, r["workers"])] = r.get("docs", docs.get((ec, r["workers"]), 0))
     fam_md = []
     for ec, walls in sorted(fams.items()):
         if len(walls) < 2:
@@ -774,7 +776,9 @@ def _cluster_md() -> str:
         t_lo, t_hi = min(walls[lo]), min(walls[hi])
         eff = (t_lo / t_hi) / (hi / lo)
         rows = "\n".join(
-            f"| {w} executor(s) × {ec} cores | {min(ws):.2f} | {ws} |"
+            f"| {w} executor(s) × {ec} cores | {min(ws):.2f} "
+            f"| {docs[(ec, w)] / min(ws):.1f} | {docs[(ec, w)] / min(ws) / w:.1f} "
+            f"| {ws} |"
             for w, ws in sorted(walls.items())
         )
         cal_md = ""
@@ -785,8 +789,8 @@ def _cluster_md() -> str:
                       f"{c['intcpu']['eff']}, membw eff {c['membw']['eff']}.\n")
         fam_md.append(f"""### {ec}-core executors: {lo} vs {hi}
 
-| cluster size | min wall (s) | raw walls |
-|---|---|---|
+| cluster size | min wall (s) | docs/sec | docs/sec/executor | raw walls |
+|---|---|---|---|---|
 {rows}
 
 **Executor-scaling efficiency (T_{lo}exec/T_{hi}exec)/{hi // lo} =

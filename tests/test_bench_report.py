@@ -89,6 +89,10 @@ def test_cluster_md_renders_each_family_with_calibration(fake_repo):
     assert "(4→16 pinned cores)" not in md
     # raw walls are published verbatim, not just the min
     assert "[400.0, 440.0]" in md
+    # throughput at both levels — the baseline metric is docs/sec/executor
+    # (100 docs / 400 s / 1 exec = 0.2; 100 / 100 s / 4 = 0.2)
+    assert "| 1 executor(s) × 2 cores | 400.00 | 0.2 | 0.2 |" in md
+    assert "| 4 executor(s) × 2 cores | 100.00 | 1.0 | 0.2 |" in md
 
 
 def test_cluster_md_empty_without_samples(fake_repo):

@@ -743,6 +743,45 @@ def _paired_eff_md(lo, hi, walls) -> str:
     )
 
 
+def _cluster_paired_md(ordered: list[tuple[int, float]], lo: int, hi: int) -> str:
+    """Per-session paired-efficiency table for one cluster family — the same
+    drift discipline the local[N] section applies. `ordered` is the file-order
+    (workers, min wall) per warm spark-submit session; the probe runs each lo
+    session immediately before its hi session, so consecutive lo→hi rows share
+    one host-weather window and their ratio is weather-paired. Returns '' when
+    fewer than two pairs exist (a single pair adds nothing over the headline)."""
+    pairs = []
+    prev = None
+    for workers, wall in ordered:
+        if workers == lo:
+            prev = wall
+        elif workers == hi and prev is not None:
+            pairs.append((prev, wall, (prev / wall) / (hi // lo)))
+            prev = None
+    if len(pairs) < 2:
+        return ""
+    rows = "\n".join(
+        f"| {i} | {plo:.1f} | {phi:.1f} | {eff:.3f} |"
+        for i, (plo, phi, eff) in enumerate(pairs)
+    )
+    effs = sorted(e for _, _, e in pairs)
+    mid = len(effs) // 2
+    med = effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2
+    best = max(e for _, _, e in pairs)
+    return f"""
+Per-session pairing (each session's lo run immediately precedes its hi run,
+sharing one host-weather window; see the local[N] section for why the
+cross-session min pairing above and this paired view bracket the estimate —
+walls for the same binary swing up to 2× across host regimes on this VM):
+
+| session | min lo wall (s) | min hi wall (s) | paired eff |
+|---|---|---|---|
+{rows}
+
+* median paired efficiency: **{med:.3f}**; quietest-window session: **{best:.3f}**
+"""
+
+
 def _cluster_md() -> str:
     """Render the TRUE multi-executor samples (BENCH/cluster_samples.jsonl,
     written by BENCH/probes/cluster_run.py: a local standalone cluster —
@@ -757,6 +796,10 @@ def _cluster_md() -> str:
     docs: dict[tuple[int, int], int] = {}  # (exec_cores, workers) -> corpus docs
     cals: dict[int, dict] = {}  # exec_cores -> same-box calibration at the
     # family's total-core pair (appended by the probe driver)
+    sessions: dict[int, list[tuple[int, float]]] = {}  # file-order (workers,
+    # min wall) per family — each row is one warm spark-submit session, and
+    # the probe always runs a lo session then its hi session back-to-back,
+    # so consecutive lo→hi rows form a weather-paired measurement
     with open(path) as f:
         for line in f:
             r = json.loads(line)
@@ -768,6 +811,7 @@ def _cluster_md() -> str:
             ec = r.get("exec_cores", 4)
             fams.setdefault(ec, {}).setdefault(r["workers"], []).extend(r["walls"])
             docs[(ec, r["workers"])] = r.get("docs", docs.get((ec, r["workers"]), 0))
+            sessions.setdefault(ec, []).append((r["workers"], min(r["walls"])))
     fam_md = []
     for ec, walls in sorted(fams.items()):
         if len(walls) < 2:
@@ -795,7 +839,7 @@ def _cluster_md() -> str:
 
 **Executor-scaling efficiency (T_{lo}exec/T_{hi}exec)/{hi // lo} =
 {eff:.3f}** (target ≥ 0.8).
-{cal_md}""")
+{_cluster_paired_md(sessions.get(ec, []), lo, hi)}{cal_md}""")
     if not fam_md:
         return ""
     return f"""

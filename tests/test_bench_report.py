@@ -95,6 +95,42 @@ def test_cluster_md_renders_each_family_with_calibration(fake_repo):
     assert "| 4 executor(s) × 2 cores | 100.00 | 1.0 | 0.2 |" in md
 
 
+def test_cluster_paired_md_pairs_consecutive_sessions():
+    # file order: lo, hi, lo, hi — two weather-paired sessions; effs 1.0, 0.5
+    ordered = [(1, 400.0), (4, 100.0), (1, 400.0), (4, 200.0)]
+    md = bench._cluster_paired_md(ordered, 1, 4)
+    assert "| 0 | 400.0 | 100.0 | 1.000 |" in md
+    assert "| 1 | 400.0 | 200.0 | 0.500 |" in md
+    assert "median paired efficiency: **0.750**" in md
+    assert "quietest-window session: **1.000**" in md
+
+
+def test_cluster_paired_md_skips_unpaired_and_single_pair():
+    # a lone hi row (no preceding lo) pairs with nothing; one pair → no table
+    assert bench._cluster_paired_md([(4, 100.0), (1, 400.0), (4, 100.0)], 1, 4) == ""
+    # a trailing in-flight lo session is ignored, the two complete pairs render
+    ordered = [(1, 400.0), (4, 100.0), (1, 480.0), (4, 150.0), (1, 500.0)]
+    md = bench._cluster_paired_md(ordered, 1, 4)
+    assert "| 0 | 400.0 | 100.0 | 1.000 |" in md
+    assert "| 1 | 480.0 | 150.0 | 0.800 |" in md
+    assert "| 2 |" not in md
+
+
+def test_cluster_md_includes_paired_table_with_two_reps(fake_repo):
+    recs = [
+        {"workers": 1, "exec_cores": 2, "docs": 100, "walls": [400.0]},
+        {"workers": 4, "exec_cores": 2, "docs": 100, "walls": [100.0]},
+        {"workers": 1, "exec_cores": 2, "docs": 100, "walls": [480.0]},
+        {"workers": 4, "exec_cores": 2, "docs": 100, "walls": [150.0]},
+    ]
+    _write_samples(fake_repo, recs)
+    md = bench._cluster_md()
+    assert "Per-session pairing" in md
+    assert "median paired efficiency: **0.900**" in md
+    # headline stays the cross-session min estimator: (400/100)/4 = 1.0
+    assert "1.000** (target ≥ 0.8)" in md
+
+
 def test_cluster_md_empty_without_samples(fake_repo):
     assert bench._cluster_md() == ""
     _write_samples(fake_repo, [{"note": "no walls yet"}])

@@ -40,7 +40,9 @@ def main() -> None:
     docs = catalog.read_docs(spark, f"{corpus}/docs_bucketed", keep_bucket=True)
     media = spark.read.parquet(f"{corpus}/media_cp")
     n_docs = docs.count()
-    # sanity: the cluster must actually have granted the executors we claim
+    # sanity: the cluster must actually have granted the executors we claim —
+    # measuring on fewer would silently corrupt the published scaling sample,
+    # so an under-provisioned level ABORTS instead of recording a wall
     execs = set()
     for _ in range(60):
         execs = {
@@ -50,6 +52,12 @@ def main() -> None:
         if len(execs) - 1 >= n_executors:  # -1: the driver row
             break
         time.sleep(1)
+    else:
+        spark.stop()
+        raise RuntimeError(
+            f"requested {n_executors} executors but only {len(execs) - 1} "
+            "registered within 60 s — refusing to record a scaling sample "
+            "on an under-provisioned cluster")
 
     def one_pass() -> float:
         work = tempfile.mkdtemp(prefix=f"cluster_{n_executors}_")

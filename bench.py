@@ -463,6 +463,7 @@ def run_scaling(sf_dir: str) -> None:
     lo, hi = (int(x) for x in levels.split(","))
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
     walls: dict[int, list[float]] = {lo: [], hi: []}
+    groups: dict[int, list] = {lo: [], hi: []}  # (rep id, sample min wall)
     stage_tables: dict[int, list] = {lo: [], hi: []}
     weathers: dict[int, list] = {lo: [], hi: []}
     best_wall: dict[int, float] = {lo: float("inf"), hi: float("inf")}
@@ -490,6 +491,7 @@ def run_scaling(sf_dir: str) -> None:
                 if n not in walls:
                     continue
                 walls[n].extend(r.get("walls", [r["wall"]]))
+                groups[n].append((r.get("rep", 0), min(r.get("walls", [r["wall"]]))))
                 weathers[n].append({"pre": r.get("weather_pre"), "post": r.get("weather")})
                 docs = r["docs"]
                 reps_seeded = max(reps_seeded, r.get("rep", 0) + 1)
@@ -506,6 +508,7 @@ def run_scaling(sf_dir: str) -> None:
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
             walls[n].extend(r.get("walls", [r["wall"]]))
+            groups[n].append((rep, min(r.get("walls", [r["wall"]]))))
             weathers[n].append({"pre": r.get("weather_pre"), "post": r.get("weather")})
             docs = r["docs"]
             # keep the stage decomposition of the globally best pass per
@@ -518,7 +521,8 @@ def run_scaling(sf_dir: str) -> None:
                 f.write(json.dumps({"rep": rep, **r}) + "\n")
         # regenerate the report after every rep — a killed run still leaves
         # a valid BASELINE.md reflecting all samples so far
-        _write_scaling_md(lo, hi, walls, docs, cal, rep + 1, stage_tables, weathers)
+        _write_scaling_md(lo, hi, walls, docs, cal, rep + 1, stage_tables,
+                          weathers, groups)
     eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "t_lo": min(walls[lo]), "t_hi": min(walls[hi]),
@@ -704,25 +708,32 @@ def _weather_md(lo, hi, weathers) -> str:
     return "\n".join(lines)
 
 
-def _paired_eff_md(lo, hi, walls) -> str:
+def _paired_eff_md(lo, hi, groups) -> str:
     """SAME-REP paired efficiency: the headline min-of-all-samples pairing
     assumes the host is stationary across reps (and rounds) — on this VM it
     is not, so a lo-min from one day against a hi-min from another can bias
     the ratio either way. Each rep runs lo then hi back-to-back inside one
     ~15-minute window, so the per-rep ratio is weather-paired; the table
     lists every rep's (min lo wall, min hi wall, eff) and the max/median as
-    drift-bounded estimators alongside the headline."""
+    drift-bounded estimators alongside the headline.
+
+    `groups` is {level: [(rep_id, min wall of that sample record), ...]} in
+    file order — one entry per SAMPLE RECORD, never a flat wall list, so a
+    legacy single-wall record or a killed half-rep cannot shift the pairing.
+    Records pair index-wise only while their rep ids agree; pairing stops at
+    the first mismatch (a dropped half-rep) rather than mispairing across
+    host regimes."""
     ratio = hi / lo
-    n = min(len(walls[lo]), len(walls[hi])) // 2
-    if n < 2:
-        return ""
+    los, his = groups.get(lo, []), groups.get(hi, [])
     rows, effs = [], []
-    for i in range(n):
-        wl = min(walls[lo][2 * i: 2 * i + 2])
-        wh = min(walls[hi][2 * i: 2 * i + 2])
+    for i, ((rep_l, wl), (rep_h, wh)) in enumerate(zip(los, his)):
+        if rep_l != rep_h:
+            break
         e = (wl / wh) / ratio
         effs.append(e)
         rows.append(f"| {i} | {wl:.1f} | {wh:.1f} | {e:.3f} |")
+    if len(effs) < 2:
+        return ""
     effs_sorted = sorted(effs)
     med = effs_sorted[len(effs) // 2] if len(effs) % 2 else (
         effs_sorted[len(effs) // 2 - 1] + effs_sorted[len(effs) // 2]) / 2
@@ -743,6 +754,49 @@ def _paired_eff_md(lo, hi, walls) -> str:
     )
 
 
+def _cluster_samples():
+    """Single parser for BENCH/cluster_samples.jsonl — shared by the headline
+    (_cluster_family_effs) and the detail section (_cluster_md) so the two
+    views of the same file can never disagree. Returns (fams, docs, cals,
+    sessions):
+
+      fams     {exec_cores: {workers: [walls...]}}
+      docs     {(exec_cores, workers): corpus docs}
+      cals     {exec_cores: same-box calibration at the family's core pair}
+      sessions {exec_cores: [(workers, min wall), ...] in file order — one
+                entry per warm spark-submit session; the probe runs each lo
+                session immediately before its hi session, so consecutive
+                lo→hi entries form a weather-paired measurement}
+
+    Rows whose executors_seen fell short of executors_requested are SKIPPED:
+    a wall measured on an under-provisioned cluster is not a sample of the
+    claimed level (cluster_scale.py now aborts such runs; this guards any
+    sample recorded before that, or by a patched probe)."""
+    path = os.path.join(REPO, "BENCH", "cluster_samples.jsonl")
+    fams: dict[int, dict[int, list[float]]] = {}
+    docs: dict[tuple[int, int], int] = {}
+    cals: dict[int, dict] = {}
+    sessions: dict[int, list[tuple[int, float]]] = {}
+    if not os.path.exists(path):
+        return fams, docs, cals, sessions
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            if "calibration" in r and "exec_cores" in r:
+                cals[r["exec_cores"]] = r["calibration"]
+                continue
+            if "workers" not in r:
+                continue
+            seen = r.get("executors_seen")
+            if seen is not None and seen < r.get("executors_requested", seen):
+                continue
+            ec = r.get("exec_cores", 4)
+            fams.setdefault(ec, {}).setdefault(r["workers"], []).extend(r["walls"])
+            docs[(ec, r["workers"])] = r.get("docs", docs.get((ec, r["workers"]), 0))
+            sessions.setdefault(ec, []).append((r["workers"], min(r["walls"])))
+    return fams, docs, cals, sessions
+
+
 def _cluster_paired_md(ordered: list[tuple[int, float]], lo: int, hi: int) -> str:
     """Per-session paired-efficiency table for one cluster family — the same
     drift discipline the local[N] section applies. `ordered` is the file-order
@@ -756,7 +810,7 @@ def _cluster_paired_md(ordered: list[tuple[int, float]], lo: int, hi: int) -> st
         if workers == lo:
             prev = wall
         elif workers == hi and prev is not None:
-            pairs.append((prev, wall, (prev / wall) / (hi // lo)))
+            pairs.append((prev, wall, (prev / wall) / (hi / lo)))
             prev = None
     if len(pairs) < 2:
         return ""
@@ -788,30 +842,7 @@ def _cluster_md() -> str:
     separate master/worker/executor JVMs, localhost-TCP shuffle, each worker
     taskset-pinned to its own 4-core block — submitted via spark-submit
     --py-files at two cluster sizes). Empty string until samples exist."""
-    path = os.path.join(REPO, "BENCH", "cluster_samples.jsonl")
-    if not os.path.exists(path):
-        return ""
-    # families keyed by executor core count: {exec_cores: {workers: walls}}
-    fams: dict[int, dict[int, list[float]]] = {}
-    docs: dict[tuple[int, int], int] = {}  # (exec_cores, workers) -> corpus docs
-    cals: dict[int, dict] = {}  # exec_cores -> same-box calibration at the
-    # family's total-core pair (appended by the probe driver)
-    sessions: dict[int, list[tuple[int, float]]] = {}  # file-order (workers,
-    # min wall) per family — each row is one warm spark-submit session, and
-    # the probe always runs a lo session then its hi session back-to-back,
-    # so consecutive lo→hi rows form a weather-paired measurement
-    with open(path) as f:
-        for line in f:
-            r = json.loads(line)
-            if "calibration" in r and "exec_cores" in r:
-                cals[r["exec_cores"]] = r["calibration"]
-                continue
-            if "workers" not in r:
-                continue
-            ec = r.get("exec_cores", 4)
-            fams.setdefault(ec, {}).setdefault(r["workers"], []).extend(r["walls"])
-            docs[(ec, r["workers"])] = r.get("docs", docs.get((ec, r["workers"]), 0))
-            sessions.setdefault(ec, []).append((r["workers"], min(r["walls"])))
+    fams, docs, cals, sessions = _cluster_samples()
     fam_md = []
     for ec, walls in sorted(fams.items()):
         if len(walls) < 2:
@@ -867,17 +898,7 @@ below the knee and is the faithful reading of the PLAN's scaling.
 def _cluster_family_effs() -> list[tuple[int, int, int, float]]:
     """(exec_cores, lo_workers, hi_workers, eff) per measured true-cluster
     executor-size family, from BENCH/cluster_samples.jsonl."""
-    path = os.path.join(REPO, "BENCH", "cluster_samples.jsonl")
-    if not os.path.exists(path):
-        return []
-    fams: dict[int, dict[int, list[float]]] = {}
-    with open(path) as f:
-        for line in f:
-            r = json.loads(line)
-            if "workers" not in r:
-                continue
-            ec = r.get("exec_cores", 4)
-            fams.setdefault(ec, {}).setdefault(r["workers"], []).extend(r["walls"])
+    fams, _, _, _ = _cluster_samples()
     out = []
     for ec, walls in sorted(fams.items()):
         if len(walls) < 2:
@@ -913,7 +934,7 @@ def _headline_md(local_eff: float, cal: dict, ceiling_eff: float) -> str:
 
 
 def _write_scaling_md(lo, hi, walls, docs, cal, reps_done, stage_tables=None,
-                      weathers=None) -> None:
+                      weathers=None, groups=None) -> None:
     t_lo = min(walls[lo])
     t_hi = min(walls[hi])
     eff = (t_lo / t_hi) / (hi / lo)
@@ -947,7 +968,7 @@ relative to this box's same-run pure-CPU ceiling: {eff / cal['intcpu']['eff']:.3
 All raw walls — lo: {walls[lo]}, hi: {walls[hi]} ({reps_done} interleaved
 reps × 2 timed passes per level).
 {_weather_md(lo, hi, weathers)}
-{_paired_eff_md(lo, hi, walls)}
+{_paired_eff_md(lo, hi, groups or {})}
 
 ## Per-stage decomposition (best pass per level, from the Spark event log)
 
@@ -1061,6 +1082,7 @@ def render_scaling_from_samples() -> None:
     levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16")
     lo, hi = (int(x) for x in levels.split(","))
     walls: dict[int, list[float]] = {lo: [], hi: []}
+    groups: dict[int, list] = {lo: [], hi: []}  # (rep id, sample min wall)
     stage_tables: dict[int, list] = {lo: [], hi: []}
     weathers: dict[int, list] = {lo: [], hi: []}
     best_wall = {lo: float("inf"), hi: float("inf")}
@@ -1076,6 +1098,7 @@ def render_scaling_from_samples() -> None:
             if n not in walls:
                 continue
             walls[n].extend(r.get("walls", [r["wall"]]))
+            groups[n].append((r.get("rep", 0), min(r.get("walls", [r["wall"]]))))
             weathers[n].append({"pre": r.get("weather_pre"), "post": r.get("weather")})
             docs = r["docs"]
             reps_seen = max(reps_seen, r.get("rep", 0) + 1)
@@ -1087,7 +1110,8 @@ def render_scaling_from_samples() -> None:
         # NEVER do this while a scaling protocol is running (the pools would
         # pollute its in-flight pass)
         cal = _calibrate((lo, hi))
-    _write_scaling_md(lo, hi, walls, docs, cal, reps_seen, stage_tables, weathers)
+    _write_scaling_md(lo, hi, walls, docs, cal, reps_seen, stage_tables,
+                      weathers, groups)
     eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "t_lo": min(walls[lo]), "t_hi": min(walls[hi]),

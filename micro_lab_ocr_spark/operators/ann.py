@@ -400,6 +400,11 @@ def ivf_topk(
     already unique (one cell per corpus vector, distinct probe cells per
     query), so no dedup pass is needed."""
     cent_ids, cent_mat = sampled_centroids(corpus, centroid_stride, id_col, vec_col)
+    if not cent_ids:
+        raise ValueError(
+            f"centroid_stride={centroid_stride} sampled zero centroids (no "
+            f"corpus {id_col} divisible by it) — lower the stride so the "
+            "coarse quantizer has at least one cell")
     c_cells = _cells_np(corpus, "corpus_id", cent_ids, cent_mat, 1, id_col, vec_col)
     q_cells = _cells_np(queries, "query_id", cent_ids, cent_mat, n_probe, id_col, vec_col)
     candidates = (

@@ -170,13 +170,17 @@ def _profiled(body, it: Iterator[pd.DataFrame], ok, prof_dir: str):
         t1 = time.monotonic()
         yield out
         t_emit += time.monotonic() - t1
+    # every next(src) the body performs runs INSIDE one of our next(gen)
+    # windows, so t_fetch is strictly nested in t_decode — subtract it so
+    # fetch/decode/emit are disjoint splits of the task wall (max() guards
+    # sub-ms clock jitter only)
     rec = {
         "pid": os.getpid(),
         "rows": rows,
         "wall": round(time.monotonic() - wall0, 3),
         "cpu": round(time.process_time() - cpu0, 3),
         "fetch": round(t_fetch, 3),
-        "decode": round(t_decode, 3),
+        "decode": round(max(0.0, t_decode - t_fetch), 3),
         "emit": round(t_emit, 3),
     }
     with open(os.path.join(prof_dir, f"{os.getpid()}.jsonl"), "a") as f:

@@ -131,6 +131,36 @@ def test_cluster_md_includes_paired_table_with_two_reps(fake_repo):
     assert "1.000** (target ≥ 0.8)" in md
 
 
+def test_cluster_samples_skip_underprovisioned_rows(fake_repo):
+    # a wall measured with fewer executors than requested is not a sample of
+    # the claimed level — it must not reach the published tables
+    recs = [
+        {"workers": 1, "exec_cores": 2, "docs": 100, "walls": [400.0],
+         "executors_requested": 1, "executors_seen": 1},
+        {"workers": 4, "exec_cores": 2, "docs": 100, "walls": [500.0],
+         "executors_requested": 4, "executors_seen": 2},  # under-provisioned
+        {"workers": 4, "exec_cores": 2, "docs": 100, "walls": [125.0],
+         "executors_requested": 4, "executors_seen": 4},
+    ]
+    _write_samples(fake_repo, recs)
+    assert bench._cluster_family_effs() == [(2, 1, 4, 0.8)]
+    assert "500.0" not in bench._cluster_md()
+
+
+def test_paired_eff_md_stops_at_rep_mismatch():
+    # a killed half-rep must not let later reps pair across host regimes:
+    # rep 1's hi is missing, so pairing stops after rep 0 → under 2 pairs
+    groups = {4: [(0, 400.0), (1, 410.0), (2, 420.0)],
+              16: [(0, 100.0), (2, 105.0)]}
+    assert bench._paired_eff_md(4, 16, groups) == ""
+    # aligned rep ids render one row per rep with the true-division ratio
+    groups = {4: [(0, 400.0), (1, 480.0)], 16: [(0, 100.0), (1, 150.0)]}
+    md = bench._paired_eff_md(4, 16, groups)
+    assert "| 0 | 400.0 | 100.0 | 1.000 |" in md
+    assert "| 1 | 480.0 | 150.0 | 0.800 |" in md
+    assert "median paired efficiency: 0.900" in md
+
+
 def test_cluster_md_empty_without_samples(fake_repo):
     assert bench._cluster_md() == ""
     _write_samples(fake_repo, [{"note": "no walls yet"}])

@@ -423,4 +423,8 @@ def test_kernel_profiler_transparent(tmp_path):
     rec = lines[0]
     assert rec["rows"] == 2
     assert rec["wall"] >= rec["decode"] >= 0
+    # fetch/decode/emit are DISJOINT splits of the task wall (fetch happens
+    # inside the body's next(it) and is subtracted out of decode), so their
+    # sum can never exceed the wall
+    assert rec["fetch"] + rec["decode"] + rec["emit"] <= rec["wall"] + 0.01
     assert set(rec) >= {"pid", "rows", "wall", "cpu", "fetch", "decode", "emit"}

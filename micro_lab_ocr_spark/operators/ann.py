@@ -422,3 +422,51 @@ def ivf_topk(
     scored = _cosine_np(pairs.select("query_id", "corpus_id", "qvec", "cvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage /
+    transfer compressor a 100-TB vector corpus needs before the ANN index
+    (4× smaller than float32, 8× smaller than the float64 scoring width).
+
+    Per vector: ``scale = max|x| / 127``; ``q_i = round(x_i / scale)`` (half
+    away from zero — Spark ROUND and ANSI SQL agree); reconstruction is
+    ``q_i * scale``. Emits the quantized vector plus the audit columns a
+    curation run publishes:
+
+    * ``absmax``   — the per-vector scale numerator (rounded, 4 dp)
+    * ``q_sum``    — integer checksum of the quantized codes (exact — no
+      float summation crosses the oracle boundary)
+    * ``n_zero``   — codes collapsed to 0 (post-quantization sparsity)
+    * ``max_err``  — worst per-element |x − q·scale| (rounded, 4 dp; a max
+      over per-element doubles is order-independent, so it oracle-matches
+      where a float SUM might drift)
+
+    Pure per-row Catalyst expressions — no shuffle, no UDF; at scale this is
+    a map-only pass that pipelines into the writer. All-zero vectors quantize
+    to all-zero codes (scale guard), never NaN.
+    """
+    v = _as_double(F.col(vec_col))
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(absmax == 0, F.lit(0).cast("int"))
+        .otherwise(F.round(x / scale).cast("int")),
+    )
+    err = F.zip_with(v, q, lambda x, c: F.abs(x - c.cast("double") * scale))
+    return df.select(
+        F.col(id_col),
+        q.cast("array<tinyint>").alias("qvec"),
+        F.round(absmax, 4).alias("absmax"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, c: acc + c).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"),
+            lambda acc, c: acc + F.when(c == 0, 1).otherwise(0),
+        ).alias("n_zero"),
+        F.round(F.array_max(err), 4).alias("max_err"),
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from micro_lab_ocr_spark import banks
 from micro_lab_ocr_spark.functions import cleaners as C
 from micro_lab_ocr_spark.functions import text as T
-from micro_lab_ocr_spark.operators import ann, dedup
+from micro_lab_ocr_spark.operators import ann, dedup, sampling
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2058,3 +2058,75 @@ SELECT {cols} FROM edits
 
 REGISTRY["j4_template_cells"] = (j4_template_cells, None)  # SQL generated lazily
 REGISTRY["j5_merge_edits"] = (j5_merge_edits, None)
+
+
+# ===========================================================================
+# T — deterministic stratified sampling; EMB — int8 quantization audit
+# ===========================================================================
+
+
+def t_sample_stratified(spark, sf_dir):
+    """Deterministic md5-prefix sample (~10.2%) of the documents table,
+    audited per language stratum — the resumable-job-safe replacement for
+    ``TABLESAMPLE``/``rand()`` (operators/sampling.py). Map-side flag, one
+    low-cardinality shuffle on the stratum key."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.stratified_sample_summary(
+        docs, strata_col="lang", id_col="doc_id", threshold_hex="1a",
+        measure_col="n_chars",
+    )
+
+
+T_SAMPLE_SQL = """
+WITH flagged AS (
+  SELECT lang, n_chars,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS f
+  FROM documents
+)
+SELECT lang AS stratum,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(AVG(CASE WHEN f THEN n_chars END), 2) AS sampled_mean
+FROM flagged
+GROUP BY lang
+"""
+
+
+def emb_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization audit (operators/ann.quantize_int8):
+    per-vector scale + exact integer checksum + sparsity + worst
+    reconstruction error. The qvec itself stays library-side (arrays don't
+    hash portably across engines); the audit columns pin the codes exactly
+    via q_sum/n_zero."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann.quantize_int8(emb, id_col="vec_id", vec_col="embedding").select(
+        "vec_id", "absmax", "q_sum", "n_zero", "max_err"
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, vec, list_max(list_transform(vec, x -> abs(x))) AS am
+  FROM v
+),
+q AS (
+  SELECT vec_id, vec, am, am / 127.0 AS scale,
+         list_transform(vec, x -> CASE WHEN am = 0 THEN CAST(0 AS BIGINT)
+                                       ELSE CAST(round(x / (am / 127.0)) AS BIGINT) END) AS codes
+  FROM s
+)
+SELECT vec_id,
+       ROUND(am, 4) AS absmax,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+       CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_zero,
+       ROUND(list_max(list_transform(range(1, len(vec) + 1),
+             i -> abs(vec[i] - codes[i] * scale))), 4) AS max_err
+FROM q
+"""
+
+REGISTRY["t_sample_stratified"] = (t_sample_stratified, T_SAMPLE_SQL)
+REGISTRY["emb_quantize_int8"] = (emb_quantize_int8, EMB_QUANTIZE_SQL)

@@ -308,3 +308,70 @@ def test_connected_components_max_iter_is_loud(spark):
     # and the same graph converges with an adequate budget
     got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
     assert set(got.values()) == {0} and len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_near_rate(spark):
+    from micro_lab_ocr_spark.operators import sampling
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", "1a").collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", "1a").collect()}
+    # pure function of the data: identical selection across runs (rand()/
+    # TABLESAMPLE would not be — that is the operator's whole point)
+    assert a == b
+    # md5 prefix is uniform: rate within ±25% relative of 26/256
+    expected = 4000 * 26 / 256
+    assert 0.75 * expected <= len(a) <= 1.25 * expected
+    # widening the threshold strictly grows the sample (prefix monotonicity)
+    wider = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", "40").collect()}
+    assert a < wider
+
+
+def test_stratified_summary_counts_consistent(spark):
+    from micro_lab_ocr_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 100 + i) for i in range(500)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = {r["stratum"]: r for r in
+           sampling.stratified_sample_summary(df, "lang", "doc_id", "20", "n_chars").collect()}
+    assert set(out) == {"en", "de"}
+    assert out["en"]["n_total"] == out["de"]["n_total"] == 250
+    flat = sampling.hash_sample(df, "doc_id", "20")
+    n_by_lang = {r["lang"]: r["n"] for r in flat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang in ("en", "de"):
+        assert out[lang]["n_sampled"] == n_by_lang.get(lang, 0)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (operators/ann.quantize_int8)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.001, 0.002, -0.003, 0.004]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale guard, never NaN
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in ann.quantize_int8(df).collect()}
+    # codes live in [-127, 127]; the absmax element maps to exactly ±127
+    assert out[0]["qvec"] == [64, -127, 32, 0]
+    assert max(abs(c) for c in out[1]["qvec"]) == 127
+    # all-zero vector → all-zero codes, zero error, zero scale
+    assert out[2]["qvec"] == [0, 0, 0, 0]
+    assert out[2]["absmax"] == 0.0 and out[2]["max_err"] == 0.0
+    # reconstruction error ≤ scale/2 + rounding slack, for every vector
+    for r in out.values():
+        scale = r["absmax"] / 127.0
+        assert r["max_err"] <= scale / 2 + 1e-4
+    # integer audit columns are exact
+    assert out[0]["q_sum"] == 64 - 127 + 32 + 0
+    assert out[0]["n_zero"] == 1

@@ -43,6 +43,8 @@ HEADLINE = [
     "ann_ivf_cosine_topk",
     "f6_f7_clean_chain",
     "f3_id_extraction",
+    "t_sample_stratified",
+    "emb_quantize_int8",
 ]
 
 

@@ -294,13 +294,18 @@ _EXACT_GLYPHS = {g.tobytes(): ch for ch, g in _GLYPHS.items()}
 def _decode_glyphs_batch(band: np.ndarray, runs: list[tuple[int, int]]) -> list[str]:
     """Greedy best-path decode of every glyph run on one line: exact-match
     hash lookup fast path (distance-0 shortcut), batched min-Hamming only for
-    degraded segments."""
+    degraded segments. (A one-matmul Hamming formulation was measured 3×
+    SLOWER here — BLAS thread fan-out dwarfs the 40×240×89 flops.)"""
     n = len(runs)
     if n == 0:
         return []
     regular = all((x1 - x0) == GLYPH_W for x0, x1 in runs) and band.shape[0] == GLYPH_ROWS
     if regular:
-        segs = np.ascontiguousarray(np.stack([band[:, x0:x0 + GLYPH_W] for x0, _ in runs]))
+        # one fancy-index gather instead of n python slices + np.stack —
+        # (H, n, W) -> (n, H, W); measured ~25% of decode_image before
+        starts = np.fromiter((x0 for x0, _ in runs), dtype=np.intp, count=n)
+        idx = starts[:, None] + np.arange(GLYPH_W, dtype=np.intp)
+        segs = np.ascontiguousarray(band[:, idx].transpose(1, 0, 2))
     else:  # degraded rasters: pad per segment (rare path)
         segs = np.zeros((n, GLYPH_ROWS, GLYPH_W), dtype=np.uint8)
         for i, (x0, x1) in enumerate(runs):
@@ -350,33 +355,30 @@ def decode_image(data: bytes) -> list[tuple[int, int, str]]:
 
     # --- rule detection: near-full-height vertical ink lines --------------
     rule_mask = img.sum(axis=0) >= 0.9 * height
-    rule_xs = np.flatnonzero(rule_mask).tolist()
+    rule_arr = np.flatnonzero(rule_mask)
     img[:, rule_mask] = 0  # remove rules before glyph segmentation
-    if rule_xs:
-        # column interval c = (rule_xs[c], rule_xs[c+1])
-        def col_of(x: int) -> int:
-            lo, hi = 0, len(rule_xs) - 1
-            while lo < hi:
-                mid = (lo + hi + 1) // 2
-                if rule_xs[mid] < x:
-                    lo = mid
-                else:
-                    hi = mid - 1
-            return lo
-    else:
-        def col_of(x: int) -> int:  # un-ruled raster: single column
-            return 0
 
     cells: list[tuple[int, int, str]] = []
     for row_idx, (y0, y1) in enumerate(_runs(img.any(axis=1))):
         band = img[y0:y1]
         col_runs = _runs(band.any(axis=0))
         glyphs = _decode_glyphs_batch(band, col_runs)
+        if rule_arr.size:
+            # column of run = largest rule index strictly left of the run
+            # start (clamped to 0) — one vectorized searchsorted per line
+            # replaces a python binary search per glyph run
+            starts = np.fromiter(
+                (x0 for x0, _ in col_runs), dtype=np.int64, count=len(col_runs)
+            )
+            run_cols = np.maximum(
+                np.searchsorted(rule_arr, starts, side="left") - 1, 0
+            ).tolist()
+        else:  # un-ruled raster: single column
+            run_cols = [0] * len(col_runs)
         cur: list[str] = []
         cur_col: int | None = None
         prev_end: int | None = None
-        for (x0, x1), glyph in zip(col_runs, glyphs):
-            col = col_of(x0)
+        for (x0, x1), glyph, col in zip(col_runs, glyphs, run_cols):
             if cur_col is not None and col != cur_col:
                 cells.append((row_idx, cur_col, "".join(cur)))
                 cur = []

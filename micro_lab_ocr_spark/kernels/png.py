@@ -130,42 +130,42 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline payload size mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int16)
-        if ftype == 0:
-            rec = line.astype(np.uint8)
-        elif ftype == 1:
-            # Sub — rec[x] = line[x] + rec[x-bpp]: a per-channel cumulative
-            # sum; uint8 accumulate wraps mod 256 exactly as the spec asks
-            rec = np.empty(stride, dtype=np.uint8)
-            for ch in range(bpp):
-                rec[ch::bpp] = np.add.accumulate(
-                    line[ch::bpp].astype(np.uint8), dtype=np.uint8
-                )
-        elif ftype == 2:  # Up — vectorized
-            rec = ((line + prev) & 0xFF).astype(np.uint8)
-        elif ftype in (3, 4):  # up+left dependency: per-pixel loop (rare in
-            # practice; the fixture encoder avoids these for large pages)
-            rec16 = np.zeros(stride, dtype=np.int16)
-            for x in range(stride):
-                a = int(rec16[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                if ftype == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    pred = _paeth(a, b, c)
-                rec16[x] = (int(line[x]) + pred) & 0xFF
-            rec = rec16.astype(np.uint8)
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = rec
-        prev = out[y]
+    # one reshape splits filter bytes from scanline payloads; reconstruction
+    # runs IN PLACE on uint8 (numpy uint8 arithmetic wraps mod 256 exactly
+    # as the spec asks) — no per-row frombuffer/int16 round-trips
+    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = raw_arr[:, 0]
+    bad = ftypes[ftypes > 4]
+    if bad.size:
+        raise ValueError(f"bad PNG filter type {int(bad[0])}")
+    out = raw_arr[:, 1:].copy()
+    if not np.all(ftypes == 0):  # all-None: payload IS the image
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            ftype = ftypes[y]
+            line = out[y]
+            if ftype == 1:
+                # Sub — rec[x] = line[x] + rec[x-bpp]: per-channel
+                # cumulative sum, in place
+                for ch in range(bpp):
+                    np.add.accumulate(line[ch::bpp], dtype=np.uint8, out=line[ch::bpp])
+            elif ftype == 2:  # Up — vectorized, wrapping add
+                line += prev
+            elif ftype in (3, 4):  # up+left dependency: per-pixel loop (rare
+                # in practice; the fixture encoder avoids these for large pages)
+                filt = line.astype(np.int16)
+                rec16 = np.zeros(stride, dtype=np.int16)
+                for x in range(stride):
+                    a = int(rec16[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    if ftype == 3:
+                        pred = (a + b) // 2
+                    else:
+                        c = int(prev[x - bpp]) if x >= bpp else 0
+                        pred = _paeth(a, b, c)
+                    rec16[x] = (int(filt[x]) + pred) & 0xFF
+                line[:] = rec16.astype(np.uint8)
+            prev = line
     if color == 0:
         return out
     rgb = out.reshape(height, width, 3).astype(np.int32)

@@ -157,7 +157,8 @@ def test_png_codec_roundtrip():
 
     rng = np.random.default_rng(7)
     gray = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
-    for filters in [(0, 1, 2, 3, 4), (0, 1, 2), (1,), (3,), (4,)]:
+    # (0,) pins the all-None vectorized fast path; (2,) the pure-Up chain
+    for filters in [(0, 1, 2, 3, 4), (0, 1, 2), (0,), (1,), (2,), (3,), (4,)]:
         data = png.encode_png(gray, filters=filters)
         assert data.startswith(png.PNG_MAGIC)
         back = png.decode_png(data)

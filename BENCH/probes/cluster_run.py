@@ -123,6 +123,10 @@ def main() -> None:
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     import bench  # weather probe, same estimator discipline as local protocol
 
+    # materialize the scaling corpus BEFORE standing anything up: it is a
+    # gitignored build artifact, and a cleaned workspace would otherwise burn
+    # a whole session on PATH_NOT_FOUND inside the submitted driver
+    bench._ensure_media_corpus()
     log_dir = "/tmp/cluster_scale_logs"
     os.makedirs(log_dir, exist_ok=True)
     samples_path = os.path.join(REPO, "BENCH", "cluster_samples.jsonl")

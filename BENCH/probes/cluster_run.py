@@ -136,13 +136,24 @@ def main() -> None:
     cal = bench._calibrate((lo * EXEC_CORES, hi * EXEC_CORES))
     with open(samples_path, "a") as f:
         f.write(json.dumps({"calibration": cal, "exec_cores": EXEC_CORES}) + "\n")
+    # record the code version under measurement: sessions are only
+    # comparable within a commit (e.g. the round-5 OCR vectorization moved
+    # the lo-level wall ~35%), so the report groups paired sessions by it
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
     walls: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(reps):
         for w in (lo, hi):
             pre = bench._weather_probe()
             r = run_level(w, log_dir)
             rec = {"rep": rep, "workers": w,
-                   "exec_cores": EXEC_CORES, "weather_pre": pre,
+                   "exec_cores": EXEC_CORES, "commit": commit,
+                   "weather_pre": pre,
                    "weather": bench._weather_probe(), **r}
             walls[w].extend(r["walls"])
             with open(samples_path, "a") as f:

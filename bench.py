@@ -765,10 +765,12 @@ def _cluster_samples():
       fams     {exec_cores: {workers: [walls...]}}
       docs     {(exec_cores, workers): corpus docs}
       cals     {exec_cores: same-box calibration at the family's core pair}
-      sessions {exec_cores: [(workers, min wall), ...] in file order — one
-                entry per warm spark-submit session; the probe runs each lo
-                session immediately before its hi session, so consecutive
-                lo→hi entries form a weather-paired measurement}
+      sessions {exec_cores: [(workers, min wall, commit), ...] in file order —
+                one entry per warm spark-submit session; the probe runs each
+                lo session immediately before its hi session, so consecutive
+                lo→hi entries form a weather-paired measurement. commit is the
+                short git hash the probe recorded (None for samples taken
+                before the probe recorded it)}
 
     Rows whose executors_seen fell short of executors_requested are SKIPPED:
     a wall measured on an under-provisioned cluster is not a sample of the
@@ -795,46 +797,68 @@ def _cluster_samples():
             ec = r.get("exec_cores", 4)
             fams.setdefault(ec, {}).setdefault(r["workers"], []).extend(r["walls"])
             docs[(ec, r["workers"])] = r.get("docs", docs.get((ec, r["workers"]), 0))
-            sessions.setdefault(ec, []).append((r["workers"], min(r["walls"])))
+            sessions.setdefault(ec, []).append(
+                (r["workers"], min(r["walls"]), r.get("commit")))
     return fams, docs, cals, sessions
 
 
-def _cluster_paired_md(ordered: list[tuple[int, float]], lo: int, hi: int) -> str:
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _cluster_paired_md(ordered: list[tuple[int, float, str | None]],
+                       lo: int, hi: int) -> str:
     """Per-session paired-efficiency table for one cluster family — the same
     drift discipline the local[N] section applies. `ordered` is the file-order
-    (workers, min wall) per warm spark-submit session; the probe runs each lo
-    session immediately before its hi session, so consecutive lo→hi rows share
-    one host-weather window and their ratio is weather-paired. Returns '' when
-    fewer than two pairs exist (a single pair adds nothing over the headline)."""
+    (workers, min wall, commit) per warm spark-submit session; the probe runs
+    each lo session immediately before its hi session, so consecutive lo→hi
+    rows share one host-weather window and their ratio is weather-paired.
+    Sessions are additionally grouped by the recorded code version: walls are
+    only comparable within a commit (the round-5 OCR vectorization moved the
+    lo wall ~35%), so a median over mixed-commit sessions blends different
+    binaries. Returns '' when fewer than two pairs exist (a single pair adds
+    nothing over the headline)."""
     pairs = []
     prev = None
-    for workers, wall in ordered:
+    for workers, wall, commit in ordered:
         if workers == lo:
-            prev = wall
+            prev = (wall, commit)
         elif workers == hi and prev is not None:
-            pairs.append((prev, wall, (prev / wall) / (hi / lo)))
+            pairs.append((prev[0], wall, (prev[0] / wall) / (hi / lo),
+                          prev[1] or commit))
             prev = None
     if len(pairs) < 2:
         return ""
     rows = "\n".join(
-        f"| {i} | {plo:.1f} | {phi:.1f} | {eff:.3f} |"
-        for i, (plo, phi, eff) in enumerate(pairs)
+        f"| {i} | {plo:.1f} | {phi:.1f} | {eff:.3f} | {c or '—'} |"
+        for i, (plo, phi, eff, c) in enumerate(pairs)
     )
-    effs = sorted(e for _, _, e in pairs)
-    mid = len(effs) // 2
-    med = effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2
-    best = max(e for _, _, e in pairs)
+    med = _median([e for _, _, e, _ in pairs])
+    best = max(e for _, _, e, _ in pairs)
+    # median over the newest measured code version alone, when it has ≥2
+    # sessions — the estimate that describes the CURRENT binary
+    cur_md = ""
+    cur = next((c for *_, c in reversed(pairs) if c), None)
+    if cur:
+        cur_effs = [e for _, _, e, c in pairs if c == cur]
+        if len(cur_effs) >= 2:
+            cur_md = (f"; current-code (`{cur}`) median: "
+                      f"**{_median(cur_effs):.3f}** over {len(cur_effs)} "
+                      f"sessions")
     return f"""
 Per-session pairing (each session's lo run immediately precedes its hi run,
 sharing one host-weather window; see the local[N] section for why the
 cross-session min pairing above and this paired view bracket the estimate —
-walls for the same binary swing up to 2× across host regimes on this VM):
+walls for the same binary swing up to 2× across host regimes on this VM.
+`commit` is the code version measured — '—' rows predate commit recording):
 
-| session | min lo wall (s) | min hi wall (s) | paired eff |
-|---|---|---|---|
+| session | min lo wall (s) | min hi wall (s) | paired eff | commit |
+|---|---|---|---|---|
 {rows}
 
-* median paired efficiency: **{med:.3f}**; quietest-window session: **{best:.3f}**
+* median paired efficiency: **{med:.3f}**; quietest-window session: **{best:.3f}**{cur_md}
 """
 
 

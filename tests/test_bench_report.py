@@ -97,23 +97,43 @@ def test_cluster_md_renders_each_family_with_calibration(fake_repo):
 
 def test_cluster_paired_md_pairs_consecutive_sessions():
     # file order: lo, hi, lo, hi — two weather-paired sessions; effs 1.0, 0.5
-    ordered = [(1, 400.0), (4, 100.0), (1, 400.0), (4, 200.0)]
+    ordered = [(1, 400.0, None), (4, 100.0, None),
+               (1, 400.0, None), (4, 200.0, None)]
     md = bench._cluster_paired_md(ordered, 1, 4)
-    assert "| 0 | 400.0 | 100.0 | 1.000 |" in md
-    assert "| 1 | 400.0 | 200.0 | 0.500 |" in md
+    assert "| 0 | 400.0 | 100.0 | 1.000 | — |" in md
+    assert "| 1 | 400.0 | 200.0 | 0.500 | — |" in md
     assert "median paired efficiency: **0.750**" in md
     assert "quietest-window session: **1.000**" in md
 
 
 def test_cluster_paired_md_skips_unpaired_and_single_pair():
     # a lone hi row (no preceding lo) pairs with nothing; one pair → no table
-    assert bench._cluster_paired_md([(4, 100.0), (1, 400.0), (4, 100.0)], 1, 4) == ""
+    assert bench._cluster_paired_md(
+        [(4, 100.0, None), (1, 400.0, None), (4, 100.0, None)], 1, 4) == ""
     # a trailing in-flight lo session is ignored, the two complete pairs render
-    ordered = [(1, 400.0), (4, 100.0), (1, 480.0), (4, 150.0), (1, 500.0)]
+    ordered = [(1, 400.0, None), (4, 100.0, None),
+               (1, 480.0, None), (4, 150.0, None), (1, 500.0, None)]
     md = bench._cluster_paired_md(ordered, 1, 4)
     assert "| 0 | 400.0 | 100.0 | 1.000 |" in md
     assert "| 1 | 480.0 | 150.0 | 0.800 |" in md
     assert "| 2 |" not in md
+
+
+def test_cluster_paired_md_groups_by_commit():
+    # two pre-instrumentation sessions (no commit) and two at the current
+    # code version: the all-sessions median blends binaries; the per-commit
+    # line reports the current binary alone
+    ordered = [(1, 400.0, None), (4, 200.0, None),   # eff 0.5
+               (1, 400.0, None), (4, 160.0, None),   # eff 0.625
+               (1, 320.0, "abc1234"), (4, 90.0, "abc1234"),   # eff 0.889
+               (1, 330.0, "abc1234"), (4, 97.0, "abc1234")]   # eff 0.851
+    md = bench._cluster_paired_md(ordered, 1, 4)
+    assert "| 2 | 320.0 | 90.0 | 0.889 | abc1234 |" in md
+    assert "median paired efficiency: **0.738**" in md
+    assert "current-code (`abc1234`) median: **0.870** over 2 sessions" in md
+    # a single session at the newest commit adds no per-commit median line
+    md_one = bench._cluster_paired_md(ordered[:6], 1, 4)
+    assert "current-code" not in md_one
 
 
 def test_cluster_md_includes_paired_table_with_two_reps(fake_repo):

@@ -808,6 +808,31 @@ def _median(vals: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+_ENGINE_VER_CACHE: dict = {}
+
+
+def _engine_version(commit: str | None) -> str | None:
+    """Resolve a recorded repo commit to the ENGINE code version actually
+    measured: the git tree hash of micro_lab_ocr_spark/ at that commit.
+    Samples record the repo HEAD they ran at, but bench/doc/sample commits
+    between sessions change HEAD without changing the measured binary —
+    grouping by the package tree hash keeps same-binary sessions in one
+    family. Falls back to the raw commit string when git can't resolve it."""
+    if commit is None:
+        return None
+    if commit not in _ENGINE_VER_CACHE:
+        try:
+            out = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short",
+                 f"{commit}:micro_lab_ocr_spark"],
+                capture_output=True, text=True, timeout=10,
+            )
+            _ENGINE_VER_CACHE[commit] = out.stdout.strip() or commit
+        except Exception:
+            _ENGINE_VER_CACHE[commit] = commit
+    return _ENGINE_VER_CACHE[commit]
+
+
 def _cluster_paired_md(ordered: list[tuple[int, float, str | None]],
                        lo: int, hi: int) -> str:
     """Per-session paired-efficiency table for one cluster family — the same
@@ -837,14 +862,17 @@ def _cluster_paired_md(ordered: list[tuple[int, float, str | None]],
     )
     med = _median([e for _, _, e, _ in pairs])
     best = max(e for _, _, e, _ in pairs)
-    # median over the newest measured code version alone, when it has ≥2
-    # sessions — the estimate that describes the CURRENT binary
+    # median over the newest measured ENGINE version alone, when it has ≥2
+    # sessions — the estimate that describes the CURRENT binary. Versions
+    # are the micro_lab_ocr_spark/ tree hash resolved from each recorded
+    # repo commit, so bench/doc/sample commits between sessions don't split
+    # a same-binary family.
     cur_md = ""
-    cur = next((c for *_, c in reversed(pairs) if c), None)
+    cur = next((_engine_version(c) for *_, c in reversed(pairs) if c), None)
     if cur:
-        cur_effs = [e for _, _, e, c in pairs if c == cur]
+        cur_effs = [e for _, _, e, c in pairs if _engine_version(c) == cur]
         if len(cur_effs) >= 2:
-            cur_md = (f"; current-code (`{cur}`) median: "
+            cur_md = (f"; current-engine (tree `{cur}`) median: "
                       f"**{_median(cur_effs):.3f}** over {len(cur_effs)} "
                       f"sessions")
     return f"""

@@ -833,8 +833,58 @@ def _engine_version(commit: str | None) -> str | None:
     return _ENGINE_VER_CACHE[commit]
 
 
+def _commit_backfill(ec: int) -> dict:
+    """Engine-version backfill for sample rows recorded before the probe
+    stamped commits (pre-35573e7): BENCH/cluster_commit_backfill.json maps
+    exec_cores -> paired-session index -> {engine_tree, evidence}, each
+    derived from git history (see the file's _comment for the derivation).
+    Raw jsonl rows are never edited; backfilled versions render with a '*'
+    and their evidence is footnoted."""
+    path = os.path.join(REPO, "BENCH", "cluster_commit_backfill.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f).get(str(ec), {})
+
+
+def _cluster_pairs(ordered, lo: int, hi: int, ec: int):
+    """Pair consecutive lo→hi sessions of one family and resolve each pair's
+    engine version: (pairs [(lo wall, hi wall, eff, commit)], vers [tree hash
+    or None]) — version from the recorded commit's package tree hash, else
+    the git-history backfill sidecar, else None."""
+    pairs = []
+    prev = None
+    for workers, wall, commit in ordered:
+        if workers == lo:
+            prev = (wall, commit)
+        elif workers == hi and prev is not None:
+            pairs.append((prev[0], wall, (prev[0] / wall) / (hi / lo),
+                          prev[1] or commit))
+            prev = None
+    backfill = _commit_backfill(ec)
+    vers = [
+        _engine_version(c) if c
+        else backfill.get(str(i), {}).get("engine_tree")
+        for i, (_, _, _, c) in enumerate(pairs)
+    ]
+    return pairs, vers
+
+
+def _current_engine_median(ec: int, lo: int, hi: int, ordered) -> tuple:
+    """(median eff, n sessions) over the NEWEST engine version's paired
+    sessions, or (None, 0) when fewer than two pairs carry that version."""
+    pairs, vers = _cluster_pairs(ordered, lo, hi, ec)
+    cur = next((v for v in reversed(vers) if v), None)
+    if not cur:
+        return None, 0
+    effs = [e for (_, _, e, _), v in zip(pairs, vers) if v == cur]
+    if len(effs) < 2:
+        return None, 0
+    return _median(effs), len(effs)
+
+
 def _cluster_paired_md(ordered: list[tuple[int, float, str | None]],
-                       lo: int, hi: int) -> str:
+                       lo: int, hi: int, ec: int) -> str:
     """Per-session paired-efficiency table for one cluster family — the same
     drift discipline the local[N] section applies. `ordered` is the file-order
     (workers, min wall, commit) per warm spark-submit session; the probe runs
@@ -845,47 +895,54 @@ def _cluster_paired_md(ordered: list[tuple[int, float, str | None]],
     lo wall ~35%), so a median over mixed-commit sessions blends different
     binaries. Returns '' when fewer than two pairs exist (a single pair adds
     nothing over the headline)."""
-    pairs = []
-    prev = None
-    for workers, wall, commit in ordered:
-        if workers == lo:
-            prev = (wall, commit)
-        elif workers == hi and prev is not None:
-            pairs.append((prev[0], wall, (prev[0] / wall) / (hi / lo),
-                          prev[1] or commit))
-            prev = None
+    pairs, vers = _cluster_pairs(ordered, lo, hi, ec)
     if len(pairs) < 2:
         return ""
+    backfill = _commit_backfill(ec)
+    cells, notes = [], []
+    for i, ((_, _, _, c), v) in enumerate(zip(pairs, vers)):
+        if c:
+            cells.append(f"`{c}`")
+        elif v:
+            cells.append(f"`{v}`\\*")
+            notes.append(f"session {i}: {backfill[str(i)]['evidence']}")
+        else:
+            cells.append("—")
     rows = "\n".join(
-        f"| {i} | {plo:.1f} | {phi:.1f} | {eff:.3f} | {c or '—'} |"
-        for i, (plo, phi, eff, c) in enumerate(pairs)
+        f"| {i} | {plo:.1f} | {phi:.1f} | {eff:.3f} | {cell} |"
+        for i, ((plo, phi, eff, _), cell) in enumerate(zip(pairs, cells))
     )
+    note_md = ""
+    if notes:
+        note_md = ("\n\\* engine tree backfilled from git history "
+                   "(BENCH/cluster_commit_backfill.json): "
+                   + "; ".join(notes) + ".\n")
     med = _median([e for _, _, e, _ in pairs])
     best = max(e for _, _, e, _ in pairs)
     # median over the newest measured ENGINE version alone, when it has ≥2
     # sessions — the estimate that describes the CURRENT binary. Versions
     # are the micro_lab_ocr_spark/ tree hash resolved from each recorded
-    # repo commit, so bench/doc/sample commits between sessions don't split
-    # a same-binary family.
+    # repo commit (so bench/doc/sample commits between sessions don't split
+    # a same-binary family), or backfilled from git history for rows that
+    # predate commit stamping.
     cur_md = ""
-    cur = next((_engine_version(c) for *_, c in reversed(pairs) if c), None)
-    if cur:
-        cur_effs = [e for _, _, e, c in pairs if _engine_version(c) == cur]
-        if len(cur_effs) >= 2:
-            cur_md = (f"; current-engine (tree `{cur}`) median: "
-                      f"**{_median(cur_effs):.3f}** over {len(cur_effs)} "
-                      f"sessions")
+    cur = next((v for v in reversed(vers) if v), None)
+    cur_med, cur_n = _current_engine_median(ec, lo, hi, ordered)
+    if cur_med is not None:
+        cur_md = (f"; current-engine (tree `{cur}`) median: "
+                  f"**{cur_med:.3f}** over {cur_n} sessions")
     return f"""
 Per-session pairing (each session's lo run immediately precedes its hi run,
 sharing one host-weather window; see the local[N] section for why the
 cross-session min pairing above and this paired view bracket the estimate —
 walls for the same binary swing up to 2× across host regimes on this VM.
-`commit` is the code version measured — '—' rows predate commit recording):
+`version` is the code measured: the recorded repo commit, or the engine
+tree hash where backfilled — '—' rows have no recoverable version):
 
-| session | min lo wall (s) | min hi wall (s) | paired eff | commit |
+| session | min lo wall (s) | min hi wall (s) | paired eff | version |
 |---|---|---|---|---|
 {rows}
-
+{note_md}
 * median paired efficiency: **{med:.3f}**; quietest-window session: **{best:.3f}**{cur_md}
 """
 
@@ -924,7 +981,7 @@ def _cluster_md() -> str:
 
 **Executor-scaling efficiency (T_{lo}exec/T_{hi}exec)/{hi // lo} =
 {eff:.3f}** (target ≥ 0.8).
-{_cluster_paired_md(sessions.get(ec, []), lo, hi)}{cal_md}""")
+{_cluster_paired_md(sessions.get(ec, []), lo, hi, ec)}{cal_md}""")
     if not fam_md:
         return ""
     return f"""
@@ -966,12 +1023,22 @@ def _cluster_family_effs() -> list[tuple[int, int, int, float]]:
 def _headline_md(local_eff: float, cal: dict, ceiling_eff: float) -> str:
     """One summary block up top: every reading of the north-rule criterion."""
     lines = []
+    _, _, _, sessions = _cluster_samples()
     for ec, lo, hi, eff in _cluster_family_effs():
         mark = "**MEETS the ≥ 0.8 target**" if eff >= 0.8 else "below target"
+        cur_med, cur_n = _current_engine_median(ec, lo, hi,
+                                                sessions.get(ec, []))
+        cur = ""
+        if cur_med is not None:
+            cmark = ("**MEETS the ≥ 0.8 target**" if cur_med >= 0.8
+                     else "below target")
+            cur = (f" Weather-paired median over the {cur_n} sessions that "
+                   f"measured the CURRENT engine: **{cur_med:.3f}** — "
+                   f"{cmark}.")
         lines.append(
             f"* TRUE standalone cluster, {lo}→{hi} executors × {ec} cores "
             f"(spark-submit --py-files, per-executor JVM + pinned core "
-            f"block): efficiency **{eff:.3f}** — {mark}."
+            f"block): efficiency **{eff:.3f}** — {mark}.{cur}"
         )
     of_ceiling = (f", = {local_eff / ceiling_eff:.2f}× the blended hardware "
                   f"ceiling the same-run calibration admits for this box's "

@@ -97,9 +97,11 @@ def test_cluster_md_renders_each_family_with_calibration(fake_repo):
 
 def test_cluster_paired_md_pairs_consecutive_sessions():
     # file order: lo, hi, lo, hi — two weather-paired sessions; effs 1.0, 0.5
+    # (ec=3 is a family with no backfill sidecar entry, so the real repo's
+    # BENCH/cluster_commit_backfill.json cannot leak into the test)
     ordered = [(1, 400.0, None), (4, 100.0, None),
                (1, 400.0, None), (4, 200.0, None)]
-    md = bench._cluster_paired_md(ordered, 1, 4)
+    md = bench._cluster_paired_md(ordered, 1, 4, 3)
     assert "| 0 | 400.0 | 100.0 | 1.000 | — |" in md
     assert "| 1 | 400.0 | 200.0 | 0.500 | — |" in md
     assert "median paired efficiency: **0.750**" in md
@@ -109,31 +111,73 @@ def test_cluster_paired_md_pairs_consecutive_sessions():
 def test_cluster_paired_md_skips_unpaired_and_single_pair():
     # a lone hi row (no preceding lo) pairs with nothing; one pair → no table
     assert bench._cluster_paired_md(
-        [(4, 100.0, None), (1, 400.0, None), (4, 100.0, None)], 1, 4) == ""
+        [(4, 100.0, None), (1, 400.0, None), (4, 100.0, None)], 1, 4, 3) == ""
     # a trailing in-flight lo session is ignored, the two complete pairs render
     ordered = [(1, 400.0, None), (4, 100.0, None),
                (1, 480.0, None), (4, 150.0, None), (1, 500.0, None)]
-    md = bench._cluster_paired_md(ordered, 1, 4)
+    md = bench._cluster_paired_md(ordered, 1, 4, 3)
     assert "| 0 | 400.0 | 100.0 | 1.000 |" in md
     assert "| 1 | 480.0 | 150.0 | 0.800 |" in md
     assert "| 2 |" not in md
 
 
-def test_cluster_paired_md_groups_by_commit():
+def test_cluster_paired_md_groups_by_engine_version():
     # two pre-instrumentation sessions (no commit) and two at the current
-    # code version: the all-sessions median blends binaries; the per-commit
-    # line reports the current binary alone
+    # code version: the all-sessions median blends binaries; the per-version
+    # line reports the current binary alone. "abc1234" resolves through git
+    # rev-parse to nothing (not a real commit) and falls back to itself.
     ordered = [(1, 400.0, None), (4, 200.0, None),   # eff 0.5
                (1, 400.0, None), (4, 160.0, None),   # eff 0.625
                (1, 320.0, "abc1234"), (4, 90.0, "abc1234"),   # eff 0.889
                (1, 330.0, "abc1234"), (4, 97.0, "abc1234")]   # eff 0.851
-    md = bench._cluster_paired_md(ordered, 1, 4)
-    assert "| 2 | 320.0 | 90.0 | 0.889 | abc1234 |" in md
+    md = bench._cluster_paired_md(ordered, 1, 4, 3)
+    assert "| 2 | 320.0 | 90.0 | 0.889 | `abc1234` |" in md
     assert "median paired efficiency: **0.738**" in md
-    assert "current-code (`abc1234`) median: **0.870** over 2 sessions" in md
-    # a single session at the newest commit adds no per-commit median line
-    md_one = bench._cluster_paired_md(ordered[:6], 1, 4)
-    assert "current-code" not in md_one
+    assert ("current-engine (tree `abc1234`) median: **0.870** over 2 "
+            "sessions") in md
+    # a single session at the newest commit adds no per-version median line
+    md_one = bench._cluster_paired_md(ordered[:6], 1, 4, 3)
+    assert "current-engine" not in md_one
+
+
+def test_engine_version_resolves_package_tree_hash():
+    # a real repo commit maps to the micro_lab_ocr_spark/ tree hash, so
+    # bench/doc/sample commits that don't touch the package share a version
+    import subprocess
+    head = subprocess.run(
+        ["git", "-C", bench.REPO, "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True).stdout.strip()
+    tree = subprocess.run(
+        ["git", "-C", bench.REPO, "rev-parse", "--short",
+         "HEAD:micro_lab_ocr_spark"],
+        capture_output=True, text=True).stdout.strip()
+    if head and tree:
+        assert bench._engine_version(head) == tree
+    # unknown commits fall back to themselves, never raise
+    assert bench._engine_version("nonexistent0") == "nonexistent0"
+    assert bench._engine_version(None) is None
+
+
+def test_cluster_paired_md_backfill_sidecar(fake_repo):
+    # rows recorded before commit stamping get their engine version from the
+    # sidecar (keyed by family, then paired-session index), rendered with an
+    # asterisked evidence footnote and grouped with same-version sessions
+    with open(fake_repo / "BENCH" / "cluster_commit_backfill.json", "w") as f:
+        json.dump({"2": {"0": {"engine_tree": "t1234ab",
+                               "evidence": "rows first committed in X"}}}, f)
+    ordered = [(1, 400.0, None), (4, 110.0, None),          # backfilled 0.909
+               (1, 400.0, "deadbee"), (4, 120.0, "deadbee")]  # recorded 0.833
+    # make the recorded commit resolve to the SAME tree as the backfill
+    bench._ENGINE_VER_CACHE["deadbee"] = "t1234ab"
+    md = bench._cluster_paired_md(ordered, 1, 4, 2)
+    assert "| 0 | 400.0 | 110.0 | 0.909 | `t1234ab`\\* |" in md
+    assert "| 1 | 400.0 | 120.0 | 0.833 | `deadbee` |" in md
+    assert "rows first committed in X" in md
+    assert ("current-engine (tree `t1234ab`) median: **0.871** over 2 "
+            "sessions") in md
+    # a family with no sidecar entry renders no footnote
+    md3 = bench._cluster_paired_md(ordered, 1, 4, 3)
+    assert "backfilled from git history" not in md3
 
 
 def test_cluster_md_includes_paired_table_with_two_reps(fake_repo):

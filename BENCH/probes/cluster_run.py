@@ -117,6 +117,53 @@ def run_level(n_workers: int, log_dir: str) -> dict:
         time.sleep(2)
 
 
+def _gate_level(gate_workers: int) -> dict | None:
+    """Bounded wait for a quiet host window immediately before ONE level's
+    runs — the same multi-worker membw kernel and thresholds as
+    quiet_gate.py, applied SYMMETRICALLY before every level.
+
+    Why: the session-start gate (quiet_gate.py) proved insufficient in the
+    eighth 2-core session — a bandwidth regime change arrived ~15 min in,
+    after the lo half, degrading only the hi half (118.5 s vs 93.4 s for
+    identical code in the prior session) and reading 0.741 where the two
+    quiet-window sessions read 0.846/0.847. Gating both halves with the
+    same criterion keeps the pair's two weather windows comparable without
+    cherry-picking: the gate (as before) only chooses WHEN to sample, every
+    sample taken is recorded, and the readings land in the jsonl row.
+
+    Proceeds anyway after SPARK_GRAFT_GATE_LEVEL_TIMEOUT_S (default 1800 s)
+    so a session never strands its lo half — the recorded `gate` field
+    (timed_out: true) makes that sample auditable.
+    """
+    if os.environ.get("SPARK_GRAFT_GATE_EACH_LEVEL", "1") != "1":
+        return None
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from quiet_gate import probe
+    membw_min = float(os.environ.get("SPARK_GRAFT_GATE_MEMBW", "430"))
+    alloc_min = float(os.environ.get("SPARK_GRAFT_GATE_ALLOC", "900"))
+    deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_GATE_LEVEL_TIMEOUT_S", "1800"))
+    t0, streak, readings = time.time(), 0, []
+    while True:
+        rate, w = probe(gate_workers)
+        readings.append(round(rate, 1))
+        quiet = rate >= membw_min and w["alloc_mbps"] >= alloc_min
+        print(f"level-gate: membw@{gate_workers}w={rate:.1f} it/s "
+              f"(min {membw_min}) alloc={w['alloc_mbps']:.0f} MB/s -> "
+              f"{'QUIET' if quiet else 'stormy'} (streak {streak})",
+              flush=True)
+        streak = streak + 1 if quiet else 0
+        if streak >= 2:
+            return {"membw": readings, "waited_s": round(time.time() - t0, 1),
+                    "timed_out": False}
+        if time.time() > deadline:
+            print("level-gate: timeout — proceeding in current weather",
+                  flush=True)
+            return {"membw": readings, "waited_s": round(time.time() - t0, 1),
+                    "timed_out": True}
+        time.sleep(30)
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
@@ -149,11 +196,12 @@ def main() -> None:
     walls: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(reps):
         for w in (lo, hi):
+            gate = _gate_level(hi * EXEC_CORES)
             pre = bench._weather_probe()
             r = run_level(w, log_dir)
             rec = {"rep": rep, "workers": w,
                    "exec_cores": EXEC_CORES, "commit": commit,
-                   "weather_pre": pre,
+                   "gate": gate, "weather_pre": pre,
                    "weather": bench._weather_probe(), **r}
             walls[w].extend(r["walls"])
             with open(samples_path, "a") as f:

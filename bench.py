@@ -848,19 +848,28 @@ def _commit_backfill(ec: int) -> dict:
 
 
 def _cluster_pairs(ordered, lo: int, hi: int, ec: int):
-    """Pair consecutive lo→hi sessions of one family and resolve each pair's
-    engine version: (pairs [(lo wall, hi wall, eff, commit)], vers [tree hash
-    or None]) — version from the recorded commit's package tree hash, else
-    the git-history backfill sidecar, else None."""
+    """Pair adjacent complementary sessions of one family and resolve each
+    pair's engine version: (pairs [(lo wall, hi wall, eff, commit)], vers
+    [tree hash or None]) — version from the recorded commit's package tree
+    hash, else the git-history backfill sidecar, else None.
+
+    Order-agnostic within a pair: the probe historically ran lo→hi, but
+    since SPARK_GRAFT_HI_FIRST it may run the weather-sensitive hi level
+    first, so a hi row followed by its session's lo row is the same
+    weather-paired measurement."""
     pairs = []
-    prev = None
+    prev = None  # (workers, wall, commit) awaiting its complement
     for workers, wall, commit in ordered:
-        if workers == lo:
-            prev = (wall, commit)
-        elif workers == hi and prev is not None:
-            pairs.append((prev[0], wall, (prev[0] / wall) / (hi / lo),
-                          prev[1] or commit))
+        if workers not in (lo, hi):
+            continue
+        if prev is not None and prev[0] != workers:
+            lo_wall = prev[1] if prev[0] == lo else wall
+            hi_wall = wall if workers == hi else prev[1]
+            pairs.append((lo_wall, hi_wall, (lo_wall / hi_wall) / (hi / lo),
+                          prev[2] or commit))
             prev = None
+        else:
+            prev = (workers, wall, commit)
     backfill = _commit_backfill(ec)
     vers = [
         _engine_version(c) if c
@@ -1002,6 +1011,19 @@ fixes the 1:4 executor RATIO); each measured family is reported. The
 saturation knee (membw calibration, below) that a real cluster — adding
 memory channels with every node — does not have; the 2-core family stays
 below the knee and is the faithful reading of the PLAN's scaling.
+
+Weather discipline (gates choose only WHEN to sample; every sample taken
+is recorded): sessions launch through BENCH/probes/quiet_gate.py, which
+polls the same 8-worker membw kernel as the calibration and waits for two
+consecutive quiet readings; since the ninth session each LEVEL re-gates on
+the same criterion symmetrically (readings land in the row's `gate`
+field), because a mid-session regime change degrades only the
+bandwidth-hungry hi half — measured hi walls track the gate reading
+nearly linearly (~700 it/s → 93.4 s, ~505 → 118.1 s) while lo walls
+barely move (316 → 330 s) — so an asymmetric-weather pair reads the
+host, not the plan. Later sessions may also run the short, sensitive hi
+level first (SPARK_GRAFT_HI_FIRST=1) so the confirmed-quiet window is
+spent on the half that needs it; ordering does not change the estimator.
 
 {chr(10).join(fam_md)}"""
 

@@ -109,7 +109,8 @@ def test_cluster_paired_md_pairs_consecutive_sessions():
 
 
 def test_cluster_paired_md_skips_unpaired_and_single_pair():
-    # a lone hi row (no preceding lo) pairs with nothing; one pair → no table
+    # hi,lo pair (hi-first session) + trailing unmatched hi → one pair → no
+    # table (a single pair renders nothing; the headline already covers it)
     assert bench._cluster_paired_md(
         [(4, 100.0, None), (1, 400.0, None), (4, 100.0, None)], 1, 4, 3) == ""
     # a trailing in-flight lo session is ignored, the two complete pairs render
@@ -119,6 +120,18 @@ def test_cluster_paired_md_skips_unpaired_and_single_pair():
     assert "| 0 | 400.0 | 100.0 | 1.000 |" in md
     assert "| 1 | 480.0 | 150.0 | 0.800 |" in md
     assert "| 2 |" not in md
+
+
+def test_cluster_paired_md_pairs_hi_first_sessions():
+    # SPARK_GRAFT_HI_FIRST sessions write the hi row before the lo row;
+    # the pairing is order-agnostic, and a mixed file (one lo-first session,
+    # one hi-first session) yields the same two weather-paired measurements
+    ordered = [(1, 400.0, None), (4, 100.0, None),   # lo-first session
+               (4, 200.0, None), (1, 400.0, None)]   # hi-first session
+    md = bench._cluster_paired_md(ordered, 1, 4, 3)
+    assert "| 0 | 400.0 | 100.0 | 1.000 | — |" in md
+    assert "| 1 | 400.0 | 200.0 | 0.500 | — |" in md
+    assert "median paired efficiency: **0.750**" in md
 
 
 def test_cluster_paired_md_groups_by_engine_version():

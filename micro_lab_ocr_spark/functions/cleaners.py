@@ -394,6 +394,35 @@ def extract_prescription_number(col: Column) -> Column:
     return F.when(col.isNull(), F.lit("")).otherwise(out)
 
 
+def extract_ids_staged(df, src: Column, test_alias: str, presc_alias: str):
+    """F1→F2/F3 test#/prescription# extraction as STAGED projections —
+    semantically identical to :func:`extract_test_number` +
+    :func:`extract_prescription_number` over ``src``, but the F1 preprocess
+    runs ONCE as a materialized attribute shared by both extraction banks,
+    and the banks reference plain attributes so they run in whole-stage
+    codegen instead of the let() HOF barrier's interpreted eval (same move
+    as :func:`clean_cfu_staged`; measured 22.1 s → interpreted-free on the
+    f3 bench query). Adds exactly ``test_alias``/``presc_alias``."""
+    df = df.withColumn("_eis_src", src)
+    df = df.withColumn("_eis_pre", preprocess_bulk_name(F.col("_eis_src")))
+    raw_test = first_regexp_extract(F.col("_eis_pre"), _TEST_PATTERNS_ROW, group=1)
+    df = df.withColumn("_eis_traw", raw_test)
+    test_out = F.translate(
+        F.regexp_replace(F.col("_eis_traw"), r"([A-Z])(\d{2})1(\d{2})", "$1$2I$3"),
+        "|!", "II",
+    )
+    presc_out = F.trim(
+        first_regexp_extract(F.col("_eis_pre"), _PRESC_PATTERNS_ROW, group=1)
+    )
+    df = df.withColumns(
+        {
+            test_alias: F.when(F.col("_eis_src").isNull(), F.lit("")).otherwise(test_out),
+            presc_alias: F.when(F.col("_eis_src").isNull(), F.lit("")).otherwise(presc_out),
+        }
+    )
+    return df.drop(*[c for c in df.columns if c.startswith("_eis_")])
+
+
 def extract_multiple_test_numbers(col: Column) -> Column:
     """Upstage multi-extract (`backend.py:557-575`) → array<string>."""
     t = F.upper(col)

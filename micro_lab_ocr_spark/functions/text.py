@@ -215,6 +215,70 @@ def detect_language(col: Column) -> Column:
     )
 
 
+def quality_staged(df, text_col: str, ratio_alias: str = "stopword_ratio",
+                   quality_alias: str = "quality"):
+    """t_quality as HOF-free, allocation-free counting projections —
+    numerically identical to ``round(stopword_ratio(c), 4)`` +
+    ``quality_score(c)`` but built only from codegen-able ``regexp_count``
+    expressions over the ORIGINAL text. Two measured pathologies drove
+    this form: interpreted HOF subtrees (CodegenFallback) burn ~30× the
+    single-thread CPU per row under 32-way concurrency (allocation churn in
+    the interpreted eval path), and even codegen'd ``regexp_replace``
+    throttles on this box's memory subsystem because it materializes the
+    normalized string per row. Counting allocates nothing; every ratio
+    keeps the original int→double division, so rounded outputs match the
+    HOF form bit-for-bit.
+    """
+    c = F.col(text_col)
+    # every component is a COUNTING regex over the original text — no
+    # normalized string is ever built (regexp_replace materializing the
+    # normalized copy was the dominant cost: string building is memory
+    # traffic, counting is not; measured 2.5 s vs 0.25 s per pass at sf1.0):
+    #   * tokens of normalize_text == maximal [a-zA-Z0-9]+ runs, so
+    #     n_tok = regexp_count(text, '[a-zA-Z0-9]+');
+    #   * length(normalize_text) == alnum chars + (n_tok−1) single-space
+    #     separators;
+    #   * a stopword token == a case-insensitive maximal-run match, expressed
+    #     with alnum lookarounds (NOT \\b: '_' is a \\b word char but a
+    #     normalize separator).
+    sw_pat = (
+        r"(?i)(?<![a-zA-Z0-9])(?:" + "|".join(STOPWORDS) + r")(?![a-zA-Z0-9])"
+    )
+    df = df.withColumns(
+        {
+            "_tq_ntok": F.regexp_count(c, F.lit(r"[a-zA-Z0-9]+")),
+            "_tq_nsw": F.regexp_count(c, F.lit(sw_pat)),
+            "_tq_nalnum": F.regexp_count(c, F.lit(r"[a-zA-Z0-9]")),
+            "_tq_punct": F.regexp_count(c, F.lit(r"[!?.,;:]")),
+        }
+    )
+    n_tok = F.col("_tq_ntok")
+    norm_len = F.when(n_tok == 0, F.lit(0)).otherwise(
+        F.col("_tq_nalnum") + n_tok - 1
+    )
+    swr = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("_tq_nsw").cast("double") / n_tok.cast("double")
+    )
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    punct = F.col("_tq_punct")
+    punct_ratio = punct / F.greatest(F.length(c), F.lit(1))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))
+    sw_score = F.least(swr * 4, F.lit(1.0))
+    mean_wlen = norm_len / F.greatest(n_tok, F.lit(1))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    df = df.withColumns(
+        {
+            ratio_alias: F.round(swr, 4),
+            quality_alias: F.round(
+                (len_score + punct_score + sw_score + wlen_score) / 4, 4
+            ),
+        }
+    )
+    return df.drop(*[col for col in df.columns if col.startswith("_tq_")])
+
+
 def quality_score(col: Column) -> Column:
     """Composite document-quality score in [0,1]: length, punctuation
     density, stopword ratio, mean word length — each clipped linear.

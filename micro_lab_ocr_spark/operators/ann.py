@@ -52,16 +52,139 @@ def _cosine_np(pairs: DataFrame) -> DataFrame:
     return pairs.mapInPandas(score, "query_id long, corpus_id long, cosine double")
 
 
+def _cosine_np_closure(pairs: DataFrame, qids, qmat) -> DataFrame:
+    """Score (query_id, corpus_id, cvec) pairs against a bounded query
+    matrix carried in the kernel closure — the qvec side never crosses the
+    Arrow boundary per pair (half the pair bytes of :func:`_cosine_np`, no
+    query-vector broadcast join). Per-row einsum with identical operation
+    order to ``_cosine_np``, so rounded cosines are bit-identical.
+    ``qids`` must be sorted; rows whose query_id is unknown never occur
+    (candidates derive from the same query set)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            idx = np.searchsorted(qids, pdf["query_id"].to_numpy())
+            q = qmat[idx]
+            c = np.stack(pdf["cvec"].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", q, c)
+            cos = dots / (np.sqrt(np.einsum("ij,ij->i", q, q))
+                          * np.sqrt(np.einsum("ij,ij->i", c, c)))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "corpus_id": pdf["corpus_id"],
+                    "cosine": np.round(cos, 4),
+                }
+            )
+
+    return pairs.mapInPandas(score, "query_id long, corpus_id long, cosine double")
+
+
+def _collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """(sorted ids, float64 matrix) of the bounded query side."""
+    import numpy as np
+
+    rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    ).collect()
+    rows.sort(key=lambda r: r["query_id"])
+    ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    mat = (
+        np.array([r["qvec"] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0))
+    )
+    return ids, mat
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_closure_queries: int = 131072,
 ) -> DataFrame:
-    """Exact cosine top-k. queries is expected to be small → broadcast; the
-    scan over the corpus stays partition-parallel with no shuffle until the
-    final per-query top-k (tiny)."""
+    """Exact cosine top-k. queries is expected to be small (same bounded-side
+    assumption as a broadcast dimension); the query matrix rides into a
+    mapInPandas kernel over the corpus, which scores one BLAS matmul per
+    Arrow batch and emits ONLY each batch's per-query top-k candidates. The
+    Python boundary therefore carries O(n_batches · |Q| · k) narrow rows
+    instead of O(|corpus| · |Q|) vector pairs (the previous join-then-score
+    shape moved every corpus vector |Q| times through Arrow — 8.2 GB and
+    64 s at 20k×400; this form moves each vector once). The final window
+    ranks the candidate union — exact, because every true global top-k row
+    is in its own batch's top-k under the same (cosine DESC, corpus_id ASC)
+    total order. A query side above ``max_closure_queries`` falls back to
+    the pair-join shape rather than materializing an unbounded matrix."""
+    import numpy as np
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+        )
+        .limit(max_closure_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_closure_queries:
+        return _brute_force_topk_pairs(corpus, queries, k, id_col, vec_col)
+    q_rows.sort(key=lambda r: r["query_id"])
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+        for pdf in it:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            order = np.argsort(pdf["corpus_id"].to_numpy(), kind="stable")
+            cids = pdf["corpus_id"].to_numpy()[order]
+            cm = np.stack(pdf["cvec"].to_numpy()[order]).astype(np.float64)
+            cnorm = np.sqrt(np.einsum("ij,ij->i", cm, cm))
+            cos = np.round((cm @ qmat.T) / (cnorm[:, None] * qnorm[None, :]), 4)
+            cos[cids[:, None] == qids[None, :]] = -np.inf  # self-pairs excluded
+            kk = min(k, len(cids))
+            # rows pre-sorted by corpus_id ⇒ stable argsort on -cos realizes
+            # the exact (cosine DESC, corpus_id ASC) total order per query
+            top = np.argsort(-cos, axis=0, kind="stable")[:kk, :]
+            sel = np.take_along_axis(cos, top, axis=0)
+            keep = np.isfinite(sel).reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, kk)[keep],
+                    "corpus_id": cids[top].reshape(-1)[keep],
+                    "cosine": sel.reshape(-1)[keep],
+                }
+            )
+
+    scored = c.mapInPandas(kernel, "query_id long, corpus_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _brute_force_topk_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Pair-join brute force — fallback when the query side is too large to
+    carry as a kernel closure (still exact, costs a |corpus|·|Q| Arrow pass)."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
     )
@@ -173,11 +296,14 @@ def lsh_topk(
     corpus_vecs = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
     )
-    query_vecs = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    # query matrix rides the scoring kernel's closure (bounded, same
+    # assumption as the broadcast it replaces): pair rows carry only the
+    # corpus vector — half the Arrow bytes, one join fewer
+    qids, qmat = _collect_query_matrix(queries, id_col, vec_col)
+    pairs = candidates.join(corpus_vecs, "corpus_id")
+    scored = _cosine_np_closure(
+        pairs.select("query_id", "corpus_id", "cvec"), qids, qmat
     )
-    pairs = candidates.join(corpus_vecs, "corpus_id").join(F.broadcast(query_vecs), "query_id")
-    scored = _cosine_np(pairs.select("query_id", "corpus_id", "qvec", "cvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -415,11 +541,12 @@ def ivf_topk(
     corpus_vecs = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
     )
-    query_vecs = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    # same closure-scored shape as lsh_topk: pair rows carry only cvec
+    qids, qmat = _collect_query_matrix(queries, id_col, vec_col)
+    pairs = candidates.join(corpus_vecs, "corpus_id")
+    scored = _cosine_np_closure(
+        pairs.select("query_id", "corpus_id", "cvec"), qids, qmat
     )
-    pairs = candidates.join(corpus_vecs, "corpus_id").join(F.broadcast(query_vecs), "query_id")
-    scored = _cosine_np(pairs.select("query_id", "corpus_id", "qvec", "cvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -449,23 +576,43 @@ def quantize_int8(
     Pure per-row Catalyst expressions — no shuffle, no UDF; at scale this is
     a map-only pass that pipelines into the writer. All-zero vectors quantize
     to all-zero codes (scale guard), never NaN.
+
+    STAGED projections, not one nested Column tree: higher-order functions
+    evaluate interpreted, and Catalyst inlines every reference to a
+    subexpression — the nested form re-evaluated ``absmax`` (an O(dim) scan)
+    INSIDE each element's lambda of ``q`` and inlined ``q`` itself four
+    times, i.e. O(dim²)-per-use interpreted work per row (observed 38.9 s
+    for 20k×64-dim vectors). Materializing ``v``/``absmax``/``q`` as stage
+    attributes makes each an O(dim) single evaluation; CollapseProject keeps
+    the stages because each attribute is non-cheap and multiply-referenced.
+    The arithmetic per element is operation-for-operation identical, so the
+    outputs are bit-identical to the nested form.
     """
-    v = _as_double(F.col(vec_col))
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = absmax / F.lit(127.0)
-    q = F.transform(
-        v,
-        lambda x: F.when(absmax == 0, F.lit(0).cast("int"))
-        .otherwise(F.round(x / scale).cast("int")),
+    s1 = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_qz_v"))
+    s2 = s1.select(
+        "*", F.array_max(F.transform(F.col("_qz_v"), F.abs)).alias("_qz_absmax")
     )
-    err = F.zip_with(v, q, lambda x, c: F.abs(x - c.cast("double") * scale))
-    return df.select(
+    scale = F.col("_qz_absmax") / F.lit(127.0)
+    s3 = s2.select(
+        "*",
+        F.transform(
+            F.col("_qz_v"),
+            lambda x: F.when(F.col("_qz_absmax") == 0, F.lit(0).cast("int"))
+            .otherwise(F.round(x / scale).cast("int")),
+        ).alias("_qz_q"),
+    )
+    err = F.zip_with(
+        F.col("_qz_v"), F.col("_qz_q"), lambda x, c: F.abs(x - c.cast("double") * scale)
+    )
+    return s3.select(
         F.col(id_col),
-        q.cast("array<tinyint>").alias("qvec"),
-        F.round(absmax, 4).alias("absmax"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda acc, c: acc + c).alias("q_sum"),
+        F.col("_qz_q").cast("array<tinyint>").alias("qvec"),
+        F.round(F.col("_qz_absmax"), 4).alias("absmax"),
         F.aggregate(
-            q, F.lit(0).cast("long"),
+            F.col("_qz_q"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("_qz_q"), F.lit(0).cast("long"),
             lambda acc, c: acc + F.when(c == 0, 1).otherwise(0),
         ).alias("n_zero"),
         F.round(F.array_max(err), 4).alias("max_err"),

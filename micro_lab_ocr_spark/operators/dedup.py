@@ -28,14 +28,27 @@ from micro_lab_ocr_spark.functions import text as T
 from micro_lab_ocr_spark.kernels import texthash as TH
 
 
-def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint_col: str | None = None,
+) -> DataFrame:
     """Exact duplicate groups by normalized-text fingerprint.
 
     Returns (fingerprint, n_docs, keeper_id) for groups with ≥2 members —
-    the keeper is the smallest id (deterministic).
+    the keeper is the smallest id (deterministic). Pass ``fingerprint_col``
+    when the frame already carries the fingerprint (lets a caller that
+    derives exact copies reuse one fingerprint pass instead of re-hashing
+    identical text).
     """
+    fp = (
+        T.doc_fingerprint(F.col(text_col))
+        if fingerprint_col is None
+        else F.col(fingerprint_col)
+    )
     return (
-        docs.select(F.col(id_col).alias("id"), T.doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        docs.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("keeper_id"))
         .where(F.col("n_docs") >= 2)

@@ -147,7 +147,10 @@ def test_cleaners_stay_jvm_side(spark):
     plan = plan_of(Q.f6_f7_clean_chain(spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Project" in plan
-    plan17 = plan_of(Q.f17_date_ladder(spark, SF))
+    df17 = Q.f17_date_ladder(spark, SF)
+    df17.collect()  # materialize: the spread scan makes this an AQE plan,
+    # whose pre-execution string hides WholeStageCodegen markers
+    plan17 = plan_of(df17)
     assert "*(1)" in plan17  # the WholeStageCodegen stage marker
 
 

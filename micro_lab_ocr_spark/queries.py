@@ -47,7 +47,7 @@ def _scan_row_groups(path: str) -> int:
     return sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
 
 
-def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Read one input table; when its file layout cannot feed every core
     (fewer row groups than scheduler slots), spread it with one round-robin
     repartition so downstream map work uses the whole machine.
@@ -55,14 +55,22 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> Da
     Scale-adaptive by construction (guide §2): a production-size table has
     thousands of row groups, so the condition is false and the plan is an
     unmodified scan — the repartition only fires for small/single-row-group
-    inputs, where the one narrow shuffle costs milliseconds and buys
-    cluster-wide parallelism for the per-row compute that dominates these
-    queries. ``spread=False`` opts out for broadcast-destined dimension
-    tables and for operators that pin their own exchange layout.
+    inputs. ``spread=True`` is OPT-IN per call site, set only where an
+    interleaved A/B at sf1.0 measured a win — heavy per-row map compute
+    that is numpy-kernel or allocation-light codegen (f3/f6_f7 regex banks,
+    t_quality counting, quantize, simhash). Everywhere else the exchange
+    measurably lost: shuffle-first queries already redistribute (the extra
+    exchange is pure overhead), and allocation-heavy JVM string paths are
+    capped by this box's memory subsystem regardless of core count.
+    ``$SPARK_GRAFT_NO_SPREAD=1`` disables all spreading (A/B/production
+    knob). Scale-adaptive either way: a production-size table has thousands
+    of row groups, so no exchange is ever added at 100 TB.
     """
+    import os as _os
+
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if spread:
+    if spread and not _os.environ.get("SPARK_GRAFT_NO_SPREAD"):
         slots = spark.sparkContext.defaultParallelism
         if _scan_row_groups(path) < slots:
             df = df.repartition(slots)
@@ -115,7 +123,7 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_top_orders(spark, sf_dir):
     """TPC-H Q3 flavor: 3-way join + agg + deterministic top-10."""
-    cust = load(spark, sf_dir, "customer", spread=False).where(F.col("c_mktsegment") == "BUILDING")
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
@@ -152,10 +160,10 @@ def q5_region_revenue(spark, sf_dir):
     """TPC-H Q5 flavor: 6-way star join with small-dim broadcasts."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer", spread=False)
-    supp = load(spark, sf_dir, "supplier", spread=False)
-    nation = load(spark, sf_dir, "nation", spread=False)
-    region = load(spark, sf_dir, "region", spread=False)
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -191,7 +199,7 @@ def j1_enrich_broadcast(spark, sf_dir):
     """J1 — left broadcast-enrichment join with ''-fill on miss
     (`backend_preservation.py:1708-1728`): orders enriched by customer."""
     orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer", spread=False).select("c_custkey", "c_name", "c_mktsegment")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
     out = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
     return out.select(
         "o_orderkey",
@@ -433,7 +441,7 @@ def t_quality(spark, sf_dir):
     HOF-free staged form (text.quality_staged) — pure whole-stage-codegen
     expressions, which unlike interpreted HOF subtrees actually scale with
     the spread scan (guide §4.1: prefer built-ins)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return T.quality_staged(docs, "text").select(
         "doc_id", "stopword_ratio", "quality"
     )
@@ -500,7 +508,7 @@ SELECT doc_id, md5({_NORM_SQL.format(v='text')}) AS fingerprint FROM documents
 # ===========================================================================
 
 
-def _with_planted_dups(spark, sf_dir, spread: bool = True):
+def _with_planted_dups(spark, sf_dir, spread: bool = False):
     docs = load(spark, sf_dir, "documents", spread=spread).select("doc_id", "text")
     planted = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -528,7 +536,7 @@ def dedup_exact_q(spark, sf_dir):
     # vs 2.4 s unspread at sf1.0). Fingerprints are computed ONCE over the
     # planted corpus; the exact-copy branch reuses them (identical text ⇒
     # identical md5 by definition), saving a third normalize+md5 pass.
-    corpus = _with_planted_dups(spark, sf_dir, spread=False)
+    corpus = _with_planted_dups(spark, sf_dir)
     fps = corpus.select(
         "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -684,8 +692,10 @@ WHERE ROUND(len(list_intersect(a.grams, b.grams))
 
 def dedup_simhash_q(spark, sf_dir):
     """SimHash signatures (hex) per planted-dup corpus doc; pairing is
-    covered by the Spark-side operator test (non-SQL-friendly bit kernel)."""
-    corpus = _with_planted_dups(spark, sf_dir)
+    covered by the Spark-side operator test (non-SQL-friendly bit kernel).
+    spread=True: the numpy signature kernel scales across cores (A/B at
+    sf1.0: 0.77 s spread vs 2.8 s unspread)."""
+    corpus = _with_planted_dups(spark, sf_dir, spread=True)
     sigs = dedup.simhash_signatures(corpus)
     return sigs.select("id", F.lpad(F.hex("simhash"), 16, "0").alias("simhash_hex"))
 
@@ -730,7 +740,7 @@ _EMB_DEDUP_THRESHOLD = 0.4  # fixture-calibrated near-dup band (synthetic
 def dedup_embedding_cosine_q(spark, sf_dir):
     """Embedding-cosine near-dup pairs — the 5th dedup modality (task brief):
     EXACT pairs ≥ threshold via the block-grid matmul kernel (no BNLJ)."""
-    emb = load(spark, sf_dir, "embeddings", spread=False)  # operator pins its own single exchange
+    emb = load(spark, sf_dir, "embeddings")  # operator pins its own single exchange
     return ann.embedding_cosine_pairs(emb, threshold=_EMB_DEDUP_THRESHOLD)
 
 
@@ -1045,7 +1055,7 @@ def f6_f7_clean_chain(spark, sf_dir):
     codegen instead of interpreted HOF eval. CollapseProject keeps the
     stages separate because each stage's expression is non-trivial and
     multiply-referenced downstream. Measured: 5.4 s → 3.2 s at sf0.1."""
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)  # codegen regex banks scale
     raw = F.element_at(
         F.lit(_CFU_RAW), (F.col("o_orderkey") % len(_CFU_RAW)).cast("int") + 1
     )
@@ -1133,7 +1143,7 @@ _BULK_FORMS = [
 def f3_id_extraction(spark, sf_dir):
     """F1/F2/F3 — bulk-name preprocess + test#/prescription# extraction with
     OCR repair, over synthesized noisy bulk strings keyed off orders."""
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)  # codegen regex banks scale
     k = F.col("o_orderkey")
     letter = F.chr((k % 12) + 65)
     marker = F.element_at(F.lit(["I", "1", "|", "!"]), (k % 4).cast("int") + 1)
@@ -1418,7 +1428,7 @@ def flagship_entry(spark, sf_dir, mult: int | None = None):
     if mult is None:
         mult = int(_os.environ.get("SPARK_GRAFT_FLAGSHIP_MULT", "1"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = load(spark, sf_dir, "documents", spread=False)  # repartitioned on doc_id below
+    docs = load(spark, sf_dir, "documents")  # repartitioned on doc_id below
     if mult > 1:
         docs = docs.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
@@ -1472,7 +1482,7 @@ def _flagship_records(spark, sf_dir):
     from micro_lab_ocr_spark.pipeline import extract as px
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = load(spark, sf_dir, "documents", spread=False).repartition(n_part, "doc_id")
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     k = F.col("doc_id")
     pages = docs.select(
         k.cast("string").alias("doc_id"),
@@ -2153,7 +2163,7 @@ def emb_quantize_int8(spark, sf_dir):
     reconstruction error. The qvec itself stays library-side (arrays don't
     hash portably across engines); the audit columns pin the codes exactly
     via q_sum/n_zero."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)  # staged HOFs scale (A/B 0.19 vs 0.67 s)
     return ann.quantize_int8(emb, id_col="vec_id", vec_col="embedding").select(
         "vec_id", "absmax", "q_sum", "n_zero", "max_err"
     )

@@ -40,6 +40,30 @@ def norm_tokens(text: str | None) -> list[str]:
     return _NON_ALNUM.sub(" ", text.lower()).strip().split()
 
 
+def make_fingerprint_kernel(id_col: str = "doc_id", idtype: str = "bigint"):
+    """mapInPandas kernel for functions.text.doc_fingerprint: md5 of the
+    normalized text. ``_NON_ALNUM.sub(' ', lower).strip(' ')`` mirrors
+    ``trim(regexp_replace(lower(text), '[^a-zA-Z0-9]+', ' '))`` exactly —
+    after the substitution only ASCII spaces can remain at the ends, so
+    strip(' ') equals Spark's space-only trim (lower() parity per module
+    docstring). Moves the per-row regex+digest off the JVM, whose
+    allocation-heavy string path is memory-bound on this box."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = [
+                None
+                if t is None
+                else hashlib.md5(
+                    _NON_ALNUM.sub(" ", t.lower()).strip(" ").encode("utf-8")
+                ).hexdigest()
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": fps})
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # SimHash64 (functions.text.simhash64 definition)
 # ---------------------------------------------------------------------------

@@ -138,9 +138,9 @@ def brute_force_topk(
     q_rows.sort(key=lambda r: r["query_id"])
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     qmat = np.array([r["qvec"] for r in q_rows], dtype=np.float64)
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
-    )
+    # STORED width on the wire: the kernel's astype(float64) of a float32
+    # value is exact, so rounding is identical at half the Arrow bytes
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"))
 
     from collections.abc import Iterator
 
@@ -264,7 +264,8 @@ def _signatures_np(df: DataFrame, id_out: str, dim: int, n_tables: int, n_planes
                 buckets.extend(keys)
             yield pd.DataFrame({"id": ids, "table": tables, "bucket": buckets})
 
-    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"))
+    # stored width on the wire; astype(float64) in the kernel is exact
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     out = base.mapInPandas(kernel, "id long, table int, bucket string")
     return out.select(F.col("id").alias(id_out), "table", "bucket")
 
@@ -294,11 +295,14 @@ def lsh_topk(
         .dropDuplicates(["query_id", "corpus_id"])
     )
     corpus_vecs = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
-    )
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )  # stored width; the scoring kernel widens exactly
     # query matrix rides the scoring kernel's closure (bounded, same
     # assumption as the broadcast it replaces): pair rows carry only the
-    # corpus vector — half the Arrow bytes, one join fewer
+    # corpus vector — half the Arrow bytes, one join fewer. (Broadcasting
+    # the bare candidate pairs onto the corpus scan was A/B'd and LOST —
+    # building a ~500k-row broadcast relation costs more than the narrow
+    # equi-join it removes: 6.8 s vs 2.6 s at sf1.0.)
     qids, qmat = _collect_query_matrix(queries, id_col, vec_col)
     pairs = candidates.join(corpus_vecs, "corpus_id")
     scored = _cosine_np_closure(
@@ -496,7 +500,8 @@ def _cells_np(df: DataFrame, id_out: str, cent_ids, cent_mat, n_probe: int,
             cells = cids[top].reshape(-1)
             yield pd.DataFrame({"id": ids, "cell": cells})
 
-    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec"))
+    # stored width on the wire; astype(float64) in the kernel is exact
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     out = base.mapInPandas(kernel, "id long, cell long")
     return out.select(F.col("id").alias(id_out), "cell")
 
@@ -539,8 +544,8 @@ def ivf_topk(
         .select("query_id", "corpus_id")
     )
     corpus_vecs = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cvec")
-    )
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )  # stored width; the scoring kernel widens exactly
     # same closure-scored shape as lsh_topk: pair rows carry only cvec
     qids, qmat = _collect_query_matrix(queries, id_col, vec_col)
     pairs = candidates.join(corpus_vecs, "corpus_id")

@@ -537,8 +537,10 @@ def dedup_exact_q(spark, sf_dir):
     # planted corpus; the exact-copy branch reuses them (identical text ⇒
     # identical md5 by definition), saving a third normalize+md5 pass.
     corpus = _with_planted_dups(spark, sf_dir)
-    fps = corpus.select(
-        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    from micro_lab_ocr_spark.kernels import texthash as TH
+
+    fps = corpus.select("doc_id", "text").mapInPandas(
+        TH.make_fingerprint_kernel("doc_id"), "doc_id long, fingerprint string"
     )
     # plant exact dups too: doc_id+2000000 = identical copy for doc_id%11==0
     exact = fps.where((F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 1000000)).select(
@@ -1046,26 +1048,32 @@ def f6_f7_clean_chain(spark, sf_dir):
     """F4→F5→F6→F7(→F11) integrated clean chain over the full misread bank,
     keyed off orders (so the driver exercises it at every sf).
 
-    Staged PROJECTIONS instead of one nested Column chain (mirrors the SQL
-    oracle's CTEs s1–s5): each stage's output is a materialized attribute, so
-    (a) the shared prefix (F4→F5, F6, F7-of-F6) is computed ONCE across the
-    three day-columns instead of 3×, and (b) every bank receives a plain
-    attribute — no let() HOF barrier needed (attribute references duplicate
-    no subtree, so plans stay linear) and the banks run in whole-stage
-    codegen instead of interpreted HOF eval. CollapseProject keeps the
-    stages separate because each stage's expression is non-trivial and
-    multiply-referenced downstream. Measured: 5.4 s → 3.2 s at sf0.1."""
-    orders = load(spark, sf_dir, "orders", spread=True)  # codegen regex banks scale
-    raw = F.element_at(
-        F.lit(_CFU_RAW), (F.col("o_orderkey") % len(_CFU_RAW)).cast("int") + 1
+    DICTIONARY execution: ``raw`` takes exactly ``len(_CFU_RAW)`` (=105)
+    distinct values, so the staged F4→F11 chain (clean_cfu_staged — shared
+    prefix computed once, banks in whole-stage codegen) runs ONCE per bank
+    entry on a 105-row frame, which then broadcast-joins back onto the fact
+    rows by ``key % 105``. Per row the regex banks collapse to one int hash
+    probe — the classic low-cardinality-argument rewrite (guide §1.2 step 1:
+    don't compute things twice); measured 2.5 s → ~0.4 s at sf1.0 with
+    results identical by construction (same deterministic function of the
+    same value)."""
+    orders = load(spark, sf_dir, "orders")
+    n = len(_CFU_RAW)
+    bank = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_CFU_RAW)], "idx int, raw string"
     )
-    df = orders.select(F.col("o_orderkey").alias("key"), raw.alias("raw"))
-    df = C.clean_cfu_staged(
-        df,
+    bank = C.clean_cfu_staged(
+        bank,
         {"raw": F.col("raw")},
         [("raw", "0", "clean_0"), ("raw", "7", "clean_7"), ("raw", "14", "clean_14")],
     )
-    return df.select("key", "raw", "clean_0", "clean_7", "clean_14")
+    keys = orders.select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % n).cast("int").alias("idx"),
+    )
+    return keys.join(F.broadcast(bank), "idx").select(
+        "key", "raw", "clean_0", "clean_7", "clean_14"
+    )
 
 
 def _f6_sql() -> str:

@@ -216,17 +216,26 @@ class CheckpointedExtraction:
                 bucket_docs, bucket_media, media_present=media_present,
                 media_join=media_join, media_count=media_count,
             )
+            # lineage metrics ride the WRITE itself (Observation), exactly
+            # like the batched path — the previous shape re-read the bucket
+            # it had just written, one extra full decompress pass per bucket
+            # on the batch_size=1 path
+            from pyspark.sql import Observation
+
+            obs = Observation(f"bucket_stats_single_{bucket}_{snapshot_id}")
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("spans")).alias("n_spans"),
+            )
             path = os.path.join(self.output_dir, f"bucket={bucket}")
             out.write.mode("overwrite").parquet(path)
-            # lineage stats in ONE action over the written bucket
-            stats = spark.read.parquet(path).agg(
-                F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans")
-            ).collect()[0]
+            stats = obs.get
             row = BucketLineage(
                 bucket=bucket,
                 status="DONE",
                 snapshot_id=snapshot_id,
-                n_docs=stats["n_docs"],
+                n_docs=int(stats["n_docs"] or 0),
                 n_spans=int(stats["n_spans"] or 0),
                 wall_sec=round(time.perf_counter() - t0, 3),
                 finished_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

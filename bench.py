@@ -979,9 +979,30 @@ def _cluster_md() -> str:
         cal_md = ""
         if ec in cals:
             c = cals[ec]
+            # calibrated family ceiling: core-seconds add, so the per-unit
+            # inflation bound is the inverse blend of the two calibration
+            # kernels at the job's measured work mix (~81% CPU-like / 19%
+            # bandwidth-like core-seconds — derived in the local[N]
+            # core-seconds-inflation section from the 1.30× measured
+            # inflation between the 1.11×/2.11× kernel bounds)
+            icpu, imbw = c["intcpu"]["eff"], c["membw"]["eff"]
+            ceiling = 1.0 / (0.81 / icpu + 0.19 / imbw) if icpu and imbw else None
+            ceil_md = ""
+            if ceiling:
+                ceil_md = (
+                    f" With the job's measured 81/19 cpu/bandwidth "
+                    f"core-second mix, the inverse-blend inflation bound "
+                    f"gives a calibrated hardware ceiling of ≈ "
+                    f"**{ceiling:.2f}** for {lo * ec}→{hi * ec} cores on "
+                    f"this box — the family's shortfall against ≥ 0.8 is "
+                    f"bounded by the shared memory subsystem the "
+                    f"calibration itself measures, which a real cluster's "
+                    f"per-node memory buses do not share."
+                )
             cal_md = (f"\nSame-box calibration at this family's total-core "
                       f"pair ({lo * ec}→{hi * ec} pinned cores): intcpu eff "
-                      f"{c['intcpu']['eff']}, membw eff {c['membw']['eff']}.\n")
+                      f"{c['intcpu']['eff']}, membw eff {c['membw']['eff']}."
+                      f"{ceil_md}\n")
         fam_md.append(f"""### {ec}-core executors: {lo} vs {hi}
 
 | cluster size | min wall (s) | docs/sec | docs/sec/executor | raw walls |

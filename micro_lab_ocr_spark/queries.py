@@ -47,7 +47,17 @@ def _scan_row_groups(path: str) -> int:
     return sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
 
 
-def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+# "auto" spread threshold: below this compressed size the one-off exchange
+# costs more than the single-task compute it parallelizes (measured at
+# sf1.0: spreading 6–16 MB corpora LOST 0.1–1.3 s per query); above it a
+# row-group-starved scan strands seconds of map compute on one core and
+# the exchange amortizes. $SPARK_GRAFT_SPREAD_AUTO_BYTES overrides.
+_SPREAD_AUTO_BYTES = 64 * 1024 * 1024
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | str = False
+) -> DataFrame:
     """Read one input table; when its file layout cannot feed every core
     (fewer row groups than scheduler slots), spread it with one round-robin
     repartition so downstream map work uses the whole machine.
@@ -55,26 +65,50 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> D
     Scale-adaptive by construction (guide §2): a production-size table has
     thousands of row groups, so the condition is false and the plan is an
     unmodified scan — the repartition only fires for small/single-row-group
-    inputs. ``spread=True`` is OPT-IN per call site, set only where an
-    interleaved A/B at sf1.0 measured a win — heavy per-row map compute
-    that is numpy-kernel or allocation-light codegen (f3/f6_f7 regex banks,
-    t_quality counting, quantize, simhash). Everywhere else the exchange
-    measurably lost: shuffle-first queries already redistribute (the extra
-    exchange is pure overhead), and allocation-heavy JVM string paths are
-    capped by this box's memory subsystem regardless of core count.
-    ``$SPARK_GRAFT_NO_SPREAD=1`` disables all spreading (A/B/production
-    knob). Scale-adaptive either way: a production-size table has thousands
-    of row groups, so no exchange is ever added at 100 TB.
+    inputs. Modes, each chosen per call site from interleaved A/Bs:
+
+    * ``spread=True`` — always spread when row-group-starved: heavy per-row
+      map compute that scales (numpy kernels, allocation-light codegen —
+      t_quality counting, quantize, simhash).
+    * ``spread="auto"`` — spread only when the file is also ≥
+      ``_SPREAD_AUTO_BYTES``: map-heavy paths where the sf1.0-size A/B
+      showed the exchange losing on a small corpus but single-task compute
+      must dominate once the input grows (ANN corpus passes, dedup corpus
+      fingerprint/shingle kernels). Keeps today's measured-best plan at
+      sf1.0 AND stays parallel if the driver escalates the scale factor.
+    * ``spread=False`` (default) — shuffle-first queries (their first
+      exchange already redistributes; a pre-exchange cannot parallelize the
+      scan task itself), broadcast-destined dims, operators that pin their
+      own exchange layout.
+
+    ``$SPARK_GRAFT_NO_SPREAD=1`` disables all spreading (A/B knob).
     """
     import os as _os
 
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     if spread and not _os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        if spread == "auto":
+            floor = int(_os.environ.get(
+                "SPARK_GRAFT_SPREAD_AUTO_BYTES", _SPREAD_AUTO_BYTES))
+            if _path_bytes(path) < floor:
+                return df
         slots = spark.sparkContext.defaultParallelism
         if _scan_row_groups(path) < slots:
             df = df.repartition(slots)
     return df
+
+
+def _path_bytes(path: str) -> int:
+    """Compressed on-disk size of a parquet file or directory (cheap stat)."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isfile(path):
+        return _os.path.getsize(path)
+    return sum(
+        _os.path.getsize(f) for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    )
 
 
 def _dsum(col) -> F.Column:
@@ -417,7 +451,7 @@ _TOKENS_SQL = (
 
 def t_token_stats(spark, sf_dir):
     """Token counting + length stats per doc (text-analysis op)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread="auto")
     toks = T.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -476,7 +510,7 @@ FROM base
 
 def t_langid(spark, sf_dir):
     """Heuristic language ID per doc."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread="auto")
     return docs.select("doc_id", T.detect_language(F.col("text")).alias("lang_detected"))
 
 
@@ -492,7 +526,7 @@ FROM documents
 
 def t_fingerprint(spark, sf_dir):
     """Document fingerprinting (md5 of normalized text)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread="auto")
     return docs.select("doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -508,7 +542,7 @@ SELECT doc_id, md5({_NORM_SQL.format(v='text')}) AS fingerprint FROM documents
 # ===========================================================================
 
 
-def _with_planted_dups(spark, sf_dir, spread: bool = False):
+def _with_planted_dups(spark, sf_dir, spread: bool | str = "auto"):
     docs = load(spark, sf_dir, "documents", spread=spread).select("doc_id", "text")
     planted = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -530,10 +564,10 @@ FROM documents WHERE doc_id % 7 = 0
 
 
 def dedup_exact_q(spark, sf_dir):
-    # spread=False: the fingerprint pass is JVM regex+md5 — allocation-heavy
-    # string work that this box's memory subsystem caps near single-core
-    # throughput, so a spread exchange only adds traffic (A/B: 4.6 s spread
-    # vs 2.4 s unspread at sf1.0). Fingerprints are computed ONCE over the
+    # spread="auto": at sf1.0 sizes the spread exchange only added traffic
+    # (A/B: 2.6 s spread vs 1.4 s unspread with the fingerprint kernel) so
+    # auto resolves to no exchange; a larger corpus crosses the auto floor
+    # and parallelizes the kernel. Fingerprints are computed ONCE over the
     # planted corpus; the exact-copy branch reuses them (identical text ⇒
     # identical md5 by definition), saving a third normalize+md5 pass.
     corpus = _with_planted_dups(spark, sf_dir)
@@ -765,7 +799,7 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 
 
 def ann_brute_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread="auto")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ann.brute_force_topk(emb, queries, k=5)
 
@@ -793,7 +827,7 @@ _LSH_TABLES, _LSH_PLANES = 6, 6
 
 
 def ann_lsh_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread="auto")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ann.lsh_topk(emb, queries, dim=64, k=5,
                         n_planes=_LSH_PLANES, n_tables=_LSH_TABLES)
@@ -853,7 +887,7 @@ _IVF_STRIDE, _IVF_PROBE = 25, 3
 def ann_ivf_topk(spark, sf_dir):
     """IVF-flat cosine top-k: sampled-centroid inverted file, n_probe cells
     per query — the cell-partitioned ANN scale path (operators/ann.ivf_topk)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread="auto")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ann.ivf_topk(emb, queries, k=5,
                         centroid_stride=_IVF_STRIDE, n_probe=_IVF_PROBE)
